@@ -1,0 +1,204 @@
+"""Public API: extract_features / build_index / query.
+
+Mirrors the reference's entry points (BASELINE.json:5; SURVEY.md §3.1 maps
+them onto its `test.py` stack): ``extract_features`` is the batched,
+multi-scale descriptor extractor; ``build_index`` learns whitening and packs
+the gallery; ``query`` is exact top-k search.
+
+The Extractor compiles one XLA program per (bucket shape × scale set) and
+reuses it across batches; the multi-scale pyramid runs on-device
+(``jax.image.resize``) with the reference's generalized-mean-over-scales
+semantics: ``l2n((mean_s d_s^msp)^(1/msp))`` where ``msp`` is GeM's p for
+whitening-free GeM models and 1 otherwise (SURVEY.md §7 "multi-scale
+semantics").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
+    RetrievalNet,
+)
+from image_retrieval_for_image_based_localization_tpu.data.images import make_batches
+from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
+from image_retrieval_for_image_based_localization_tpu.retrieval.knn import knn_search
+from image_retrieval_for_image_based_localization_tpu.utils.config import (
+    ExtractConfig,
+    IndexConfig,
+)
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class Extractor:
+    """Compiled descriptor extraction engine.
+
+    Args:
+      variables: flax variables for RetrievalNet (ported or trained). If
+        None, randomly initialized (useful for pipeline/perf testing only).
+      cfg: ExtractConfig.
+      mesh: optional jax Mesh for data-parallel extraction; batches are
+        sharded over the mesh's 'data' axis.
+    """
+
+    def __init__(
+        self,
+        cfg: ExtractConfig,
+        variables: Optional[Dict[str, Any]] = None,
+        rng: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        mc = cfg.model
+        self.cfg = cfg
+        self.model = RetrievalNet(
+            arch=mc.arch,
+            pooling=mc.pooling,
+            whiten_dim=mc.whiten_dim,
+            netvlad_clusters=mc.netvlad_clusters,
+            gem_p=mc.gem_p,
+            dtype=_DTYPES[mc.dtype],
+            use_pallas=mc.use_pallas,
+        )
+        if variables is None:
+            h = w = max(64, cfg.bucket_multiple * 2)
+            variables = self.model.init(
+                jax.random.PRNGKey(rng), jnp.zeros((1, h, w, 3), jnp.float32)
+            )
+        self.variables = variables
+        self.mesh = mesh
+        self._forward = self._build_forward()
+
+    # -- compiled paths ------------------------------------------------------
+
+    def _build_forward(self):
+        model = self.model
+        cfg = self.cfg
+        scales = tuple(sorted(cfg.scales, reverse=True))
+
+        def msp_value(variables) -> jnp.ndarray:
+            if cfg.msp is not None:
+                return jnp.asarray(cfg.msp, jnp.float32)
+            if (
+                model.pooling == "gem"
+                and model.whiten_dim is None
+                and model.gem_p_trainable
+            ):
+                return variables["params"]["gem_p"].astype(jnp.float32)
+            if model.pooling == "gem" and model.whiten_dim is None:
+                return jnp.asarray(model.gem_p, jnp.float32)
+            return jnp.asarray(1.0, jnp.float32)
+
+        def single_scale(variables, pixels, mask, scale: float):
+            if scale != 1.0:
+                B, H, W, C = pixels.shape
+                nh = max(int(round(H * scale)), 32)
+                nw = max(int(round(W * scale)), 32)
+                pixels = jax.image.resize(pixels, (B, nh, nw, C), "bilinear")
+                mask = (
+                    jax.image.resize(mask.astype(jnp.float32), (B, nh, nw), "nearest")
+                    >= 0.5
+                )
+            return model.apply(variables, pixels, mask=mask)
+
+        def forward(variables, pixels, mask):
+            if len(scales) == 1:
+                return single_scale(variables, pixels, mask, scales[0])
+            msp = msp_value(variables)
+            # GeM descriptors are non-negative pre-whitening so the power is
+            # well-defined; msp=1 models (whitened / non-GeM) take the
+            # identity branch, preserving negative components.
+            acc = None
+            for s in scales:
+                d = single_scale(variables, pixels, mask, s)
+                d = jnp.where(msp == 1.0, d, jnp.power(jnp.clip(d, min=0.0), msp))
+                acc = d if acc is None else acc + d
+            acc = acc / len(scales)
+            acc = jnp.where(
+                msp == 1.0, acc, jnp.power(jnp.clip(acc, min=0.0), 1.0 / msp)
+            )
+            norm = jnp.sqrt(jnp.sum(jnp.square(acc), axis=-1, keepdims=True))
+            return acc / (norm + 1e-6)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sharding = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(
+                forward,
+                in_shardings=(rep, data_sharding, data_sharding),
+                out_shardings=data_sharding,
+            )
+        return jax.jit(forward)
+
+    # -- user-facing ---------------------------------------------------------
+
+    @property
+    def out_dim(self) -> int:
+        return self.model.out_dim
+
+    def __call__(self, pixels: np.ndarray, mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Extract descriptors from an already-batched NHWC float array."""
+        pixels = jnp.asarray(pixels)
+        if mask is None:
+            mask_j = jnp.ones(pixels.shape[:3], dtype=bool)
+        else:
+            mask_j = jnp.asarray(mask)
+        return np.asarray(self._forward(self.variables, pixels, mask_j))
+
+    def extract(
+        self,
+        images: Sequence,
+        bbxs: Optional[Sequence] = None,
+        progress: bool = False,
+    ) -> np.ndarray:
+        """Extract descriptors for a list of image paths or HWC arrays."""
+        cfg = self.cfg
+        out = np.zeros((len(images), self.out_dim), dtype=np.float32)
+        for batch in make_batches(
+            images,
+            image_size=cfg.image_size,
+            batch_size=cfg.batch_size,
+            bucket_multiple=cfg.bucket_multiple,
+            bbxs=bbxs,
+            squarify=cfg.squarify,
+        ):
+            descs = self(batch.pixels, batch.mask)
+            out[batch.indices] = descs[: len(batch.indices)]
+            if progress:
+                print(f"extracted {batch.indices[-1] + 1}/{len(images)}", flush=True)
+        return out
+
+
+def extract_features(
+    images: Sequence,
+    cfg: ExtractConfig = ExtractConfig(),
+    variables: Optional[Dict[str, Any]] = None,
+    bbxs: Optional[Sequence] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> np.ndarray:
+    """Extract [N, D] descriptors for images (paths or HWC arrays)."""
+    return Extractor(cfg, variables=variables, mesh=mesh).extract(images, bbxs=bbxs)
+
+
+def build_index(
+    descriptors: np.ndarray,
+    cfg: IndexConfig = IndexConfig(),
+    ids: Optional[Sequence] = None,
+    pairs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> Index:
+    """Build an exact-search index (learns whitening on the gallery)."""
+    return Index.build(descriptors, cfg=cfg, ids=ids, pairs=pairs)
+
+
+def query(
+    index: Index, qdescriptors: np.ndarray, k: int = 10
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k search against an index. Returns (scores, indices)."""
+    return index.query(qdescriptors, k=k)

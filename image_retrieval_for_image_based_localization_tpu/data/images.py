@@ -1,0 +1,149 @@
+"""Image loading, resizing, normalization, and static-shape batching.
+
+Reference behavior (`datasets/genericdataset.py` ``ImagesFromList``,
+SURVEY.md §2/§3.1; reconstructed from the cirtorch lineage — empty mount):
+PIL decode → max-side resize to ``image_size`` (LANCZOS) → optional query
+bounding-box crop → ToTensor → ImageNet mean/std normalize → batch-size-1
+variable-shape tensors.
+
+TPU-native redesign: XLA wants static shapes, so images are grouped into
+aspect-ratio *buckets* — each image is max-side-resized, then padded to its
+bucket's (H, W) (multiples of the trunk stride), with a validity mask that
+the mask-aware pooling consumes (SURVEY.md §7 hard parts: "an unmasked pad
+is a silent mAP killer"). Batches are formed per bucket so every shape
+compiles once and the MXU sees dense batched convs instead of bs=1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def load_image(path: str, bbx: Optional[Tuple[float, float, float, float]] = None) -> np.ndarray:
+    """Decode an image file to float32 RGB HWC in [0, 1]; optional bbx crop.
+
+    Query bounding boxes follow the reference convention: crop before resize.
+    """
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if bbx is not None:
+        img = img.crop(tuple(int(round(v)) for v in bbx))
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def max_side_resize(img: np.ndarray, image_size: int, upscale: bool = True) -> np.ndarray:
+    """Resize so max(H, W) == image_size, preserving aspect (PIL bilinear).
+
+    The reference's ``imresize`` thumbnails (shrink-only, LANCZOS); we resize
+    both ways by default (upscale=False restores shrink-only semantics).
+    """
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    m = max(h, w)
+    if m == image_size or (not upscale and m < image_size):
+        return img
+    scale = image_size / m
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    pil = pil.resize((nw, nh), Image.BILINEAR)
+    return np.asarray(pil, dtype=np.float32) / 255.0
+
+
+def normalize_images(x: np.ndarray) -> np.ndarray:
+    """ImageNet mean/std normalize; NHWC float32 in [0,1]."""
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def bucket_shape(h: int, w: int, multiple: int = 32) -> Tuple[int, int]:
+    """Round (h, w) up to the bucket grid (multiples of the trunk stride)."""
+    r = lambda v: ((v + multiple - 1) // multiple) * multiple  # noqa: E731
+    return r(h), r(w)
+
+
+@dataclasses.dataclass
+class ImageBatch:
+    """A static-shape batch: padded pixels + validity mask + source indices."""
+
+    pixels: np.ndarray   # [B, H, W, 3] float32, normalized, zero-padded
+    mask: np.ndarray     # [B, H, W] bool, True on valid pixels
+    indices: np.ndarray  # [B] int — positions in the original image list
+    valid: int           # number of real (non batch-padding) rows
+
+
+ImageSource = Union[str, np.ndarray]
+
+
+def _prepare_one(
+    img: ImageSource,
+    image_size: int,
+    bbx=None,
+) -> np.ndarray:
+    if isinstance(img, str):
+        img = load_image(img, bbx=bbx)
+    else:
+        img = np.asarray(img, dtype=np.float32)
+        if img.max() > 1.5:  # uint8-range input
+            img = img / 255.0
+        if bbx is not None:
+            x0, y0, x1, y1 = (int(round(v)) for v in bbx)
+            img = img[y0:y1, x0:x1]
+    return max_side_resize(img, image_size)
+
+
+def make_batches(
+    images: Sequence[ImageSource],
+    image_size: int,
+    batch_size: int,
+    bucket_multiple: int = 32,
+    bbxs: Optional[Sequence] = None,
+    squarify: bool = False,
+) -> Iterable[ImageBatch]:
+    """Group images into per-bucket static-shape batches.
+
+    Two-pass: resize all (host), group by padded bucket shape, emit batches
+    padded to ``batch_size`` rows so at most one compilation per bucket shape.
+    """
+    resized: List[np.ndarray] = []
+    for i, img in enumerate(images):
+        bbx = bbxs[i] if bbxs is not None else None
+        resized.append(_prepare_one(img, image_size, bbx=bbx))
+
+    buckets: dict[Tuple[int, int], List[int]] = {}
+    for i, img in enumerate(resized):
+        if squarify:
+            shape = (image_size, image_size)
+        else:
+            shape = bucket_shape(img.shape[0], img.shape[1], bucket_multiple)
+        buckets.setdefault(shape, []).append(i)
+
+    for (H, W), members in sorted(buckets.items()):
+        for s in range(0, len(members), batch_size):
+            chunk = members[s : s + batch_size]
+            B = batch_size
+            pixels = np.zeros((B, H, W, 3), dtype=np.float32)
+            mask = np.zeros((B, H, W), dtype=bool)
+            for row, gi in enumerate(chunk):
+                img = resized[gi]
+                h, w = img.shape[:2]
+                if squarify and (h != H or w != W):
+                    from PIL import Image
+
+                    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+                    img = np.asarray(pil.resize((W, H), Image.BILINEAR), np.float32) / 255.0
+                    h, w = H, W
+                pixels[row, :h, :w] = normalize_images(img)
+                mask[row, :h, :w] = True
+            yield ImageBatch(
+                pixels=pixels,
+                mask=mask,
+                indices=np.asarray(chunk, dtype=np.int64),
+                valid=len(chunk),
+            )

@@ -1,0 +1,172 @@
+"""The descriptor model: trunk ∘ pool ∘ (whiten FC) ∘ L2N.
+
+Mirrors the reference's `ImageRetrievalNet` composition
+(`networks/imageretrievalnet.py`, SURVEY.md §3.3; reference mount empty —
+structure from the cirtorch lineage): backbone features → global pooling
+(GeM/MAC/SPoC/R-MAC or NetVLAD) → optional learned whitening FC → L2N.
+
+TPU-native differences:
+  * batched NHWC with an optional validity mask for padded static-shape
+    buckets (the reference runs bs=1 variable shapes);
+  * descriptors returned ``[B, D]`` (reference returns D x B);
+  * ``use_pallas=True`` swaps the pooling+L2N tail for the fused Pallas
+    kernel (``ops.pallas``) — numerically equivalent, equivalence-tested.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from image_retrieval_for_image_based_localization_tpu.models.resnet import (
+    ResNetTrunk,
+    RESNET_SPECS,
+)
+from image_retrieval_for_image_based_localization_tpu.models.vgg import VGGTrunk
+from image_retrieval_for_image_based_localization_tpu.ops import (
+    gem,
+    mac,
+    spoc,
+    rmac,
+    l2n,
+    netvlad_aggregate,
+)
+
+# trunk output channels per arch
+OUTPUT_DIM = {
+    "resnet18": 512,
+    "resnet34": 512,
+    "resnet50": 2048,
+    "resnet101": 2048,
+    "resnet152": 2048,
+    "vgg16": 512,
+}
+
+
+class RetrievalNet(nn.Module):
+    """Backbone + descriptor head.
+
+    Attributes:
+      arch: trunk architecture name (see OUTPUT_DIM).
+      pooling: 'gem' | 'mac' | 'spoc' | 'rmac' | 'netvlad'.
+      whiten_dim: if set, adds a learned FC whitening layer C -> whiten_dim.
+      netvlad_clusters: K for NetVLAD.
+      gem_p_trainable: learn GeM's p (reference default: learnable, init 3.0).
+    """
+
+    arch: str = "resnet50"
+    pooling: str = "gem"
+    whiten_dim: Optional[int] = None
+    netvlad_clusters: int = 64
+    gem_p: float = 3.0
+    gem_p_trainable: bool = True
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @property
+    def out_dim(self) -> int:
+        c = OUTPUT_DIM[self.arch]
+        if self.pooling == "netvlad":
+            c = c * self.netvlad_clusters
+        if self.whiten_dim is not None:
+            c = self.whiten_dim
+        return c
+
+    def make_trunk(self):
+        if self.arch.startswith("resnet"):
+            return ResNetTrunk(self.arch, self.dtype, name="trunk")
+        if self.arch.startswith("vgg"):
+            return VGGTrunk(self.arch, self.dtype, name="trunk")
+        raise ValueError(f"unknown arch {self.arch!r}")
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        feats = self.make_trunk()(x, train=train)  # [B, h, w, C]
+        fmask = None
+        if mask is not None:
+            # Downsample the pixel-validity mask to the feature stride.
+            stride_h = x.shape[1] // feats.shape[1]
+            stride_w = x.shape[2] // feats.shape[2]
+            fmask = mask[:, ::stride_h, ::stride_w][:, : feats.shape[1], : feats.shape[2]]
+
+        if self.pooling == "netvlad":
+            C = feats.shape[-1]
+            K = self.netvlad_clusters
+            centroids = self.param(
+                "centroids", nn.initializers.normal(1.0), (K, C), jnp.float32
+            )
+            assign_w = self.param(
+                "assign_w", nn.initializers.lecun_normal(), (C, K), jnp.float32
+            )
+            assign_b = self.param("assign_b", nn.initializers.zeros, (K,), jnp.float32)
+            fm = None if fmask is None else fmask.reshape(feats.shape[0], -1)
+            if self.use_pallas:
+                from image_retrieval_for_image_based_localization_tpu.ops.pallas import (
+                    netvlad_fused,
+                )
+
+                desc = netvlad_fused(
+                    feats.reshape(feats.shape[0], -1, C).astype(jnp.float32),
+                    centroids,
+                    assign_w,
+                    assign_b,
+                    mask=fm,
+                )
+            else:
+                desc = netvlad_aggregate(
+                    feats.astype(jnp.float32), centroids, assign_w, assign_b, mask=fm
+                )
+        else:
+            feats = feats.astype(jnp.float32)
+            if self.pooling == "gem":
+                if self.gem_p_trainable:
+                    p = self.param(
+                        "gem_p",
+                        lambda rng: jnp.asarray(self.gem_p, jnp.float32),
+                    )
+                else:
+                    p = self.gem_p
+                if self.use_pallas and fmask is None:
+                    from image_retrieval_for_image_based_localization_tpu.ops.pallas import (
+                        gem_l2n_fused,
+                    )
+
+                    pooled = gem_l2n_fused(feats, p)
+                    # fused kernel already L2-normalizes; skip head norm below
+                    desc = pooled
+                    if self.whiten_dim is not None:
+                        desc = nn.Dense(self.whiten_dim, name="whiten")(desc)
+                        desc = l2n(desc)
+                    return desc
+                pooled = gem(feats, p, mask=fmask)
+            elif self.pooling == "mac":
+                pooled = mac(feats, mask=fmask)
+            elif self.pooling == "spoc":
+                pooled = spoc(feats, mask=fmask)
+            elif self.pooling == "rmac":
+                pooled = rmac(feats)
+            else:
+                raise ValueError(f"unknown pooling {self.pooling!r}")
+            desc = l2n(pooled)
+
+        if self.whiten_dim is not None:
+            desc = nn.Dense(self.whiten_dim, name="whiten")(desc)
+            desc = l2n(desc)
+        return desc
+
+
+def create_model(
+    arch: str = "resnet50",
+    pooling: str = "gem",
+    whiten_dim: Optional[int] = None,
+    **kw,
+) -> RetrievalNet:
+    """Factory mirroring the reference's ``init_network(params)``."""
+    return RetrievalNet(arch=arch, pooling=pooling, whiten_dim=whiten_dim, **kw)

@@ -1,0 +1,140 @@
+"""Port PyTorch (torchvision-style) checkpoints into this framework.
+
+The reference loads torchvision ImageNet trunks and saves cirtorch-style
+checkpoints (`{state_dict, meta}` — SURVEY.md §3.2). There is no torchvision
+in this environment (SURVEY.md §4), so porting happens from raw state_dicts:
+
+  * conv kernels: OIHW → HWIO transpose;
+  * BatchNorm: weight/bias → scale/bias params; running_mean/var → batch_stats;
+  * Dense (whitening FC): [out, in] → [in, out] transpose;
+  * GeM p, NetVLAD centroids/conv map to head params.
+
+Accepts either plain tensors, numpy arrays, or a torch ``state_dict`` (any
+object with ``.numpy()`` leaves). Returns flax ``{'params': ..., 'batch_stats': ...}``
+variables for ``RetrievalNet``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from image_retrieval_for_image_based_localization_tpu.models.resnet import RESNET_SPECS
+from image_retrieval_for_image_based_localization_tpu.models.vgg import VGG16_CFG
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach()
+    if hasattr(t, "numpy"):
+        t = t.numpy()
+    return np.asarray(t)
+
+
+def _conv(t) -> np.ndarray:
+    return _np(t).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _convbn(sd: Mapping[str, Any], conv_key: str, bn_key: str) -> Tuple[Dict, Dict]:
+    params = {
+        "conv": {"kernel": _conv(sd[f"{conv_key}.weight"])},
+        "bn": {"scale": _np(sd[f"{bn_key}.weight"]), "bias": _np(sd[f"{bn_key}.bias"])},
+    }
+    stats = {
+        "bn": {
+            "mean": _np(sd[f"{bn_key}.running_mean"]),
+            "var": _np(sd[f"{bn_key}.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def port_resnet_trunk(sd: Mapping[str, Any], arch: str, prefix: str = "") -> Dict:
+    """torchvision ResNet state_dict (optionally under ``prefix``) → trunk vars."""
+    g = lambda k: f"{prefix}{k}"  # noqa: E731
+    block_kind, stages, _ = RESNET_SPECS[arch]
+    n_convs = 2 if block_kind == "basic" else 3
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["stem"], stats["stem"] = _convbn(sd, g("conv1"), g("bn1"))
+
+    for stage_i, depth in enumerate(stages):
+        for block_i in range(depth):
+            name = f"layer{stage_i + 1}_{block_i}"
+            tname = g(f"layer{stage_i + 1}.{block_i}")
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci in range(1, n_convs + 1):
+                bp[f"cb{ci}"], bs[f"cb{ci}"] = _convbn(
+                    sd, f"{tname}.conv{ci}", f"{tname}.bn{ci}"
+                )
+            if f"{tname}.downsample.0.weight" in sd:
+                bp["down"], bs["down"] = _convbn(
+                    sd, f"{tname}.downsample.0", f"{tname}.downsample.1"
+                )
+            params[name] = bp
+            stats[name] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+def port_vgg_trunk(sd: Mapping[str, Any], prefix: str = "features.") -> Dict:
+    """torchvision VGG-16 ``features.*`` state_dict → trunk vars (no BN)."""
+    params: Dict[str, Any] = {}
+    torch_idx = 0
+    conv_i = 0
+    for v in VGG16_CFG:
+        if v == "M":
+            torch_idx += 1  # MaxPool2d layer
+        else:
+            params[f"conv{conv_i}"] = {
+                "kernel": _conv(sd[f"{prefix}{torch_idx}.weight"]),
+                "bias": _np(sd[f"{prefix}{torch_idx}.bias"]),
+            }
+            conv_i += 1
+            torch_idx += 2  # Conv2d + ReLU
+    return {"params": params, "batch_stats": {}}
+
+
+def port_retrieval_net(
+    sd: Mapping[str, Any],
+    arch: str,
+    trunk_prefix: str = "features.",
+    pool_key: str = "pool.p",
+    whiten_key: str = "whiten",
+    netvlad_prefix: str = "pool.",
+) -> Dict:
+    """cirtorch-style full-model state_dict → RetrievalNet variables.
+
+    cirtorch saves the trunk under ``features.*`` with torchvision's inner
+    naming; GeM's p under ``pool.p``; the whitening FC under ``whiten.*``.
+    """
+    if arch.startswith("resnet"):
+        trunk = port_resnet_trunk(sd, arch, prefix=trunk_prefix)
+    elif arch.startswith("vgg"):
+        trunk = port_vgg_trunk(sd, prefix=trunk_prefix)
+    else:
+        raise ValueError(arch)
+
+    params: Dict[str, Any] = {"trunk": trunk["params"]}
+    variables: Dict[str, Any] = {"params": params}
+    if trunk["batch_stats"]:
+        variables["batch_stats"] = {"trunk": trunk["batch_stats"]}
+
+    if pool_key in sd:
+        params["gem_p"] = _np(sd[pool_key]).reshape(())
+    if f"{whiten_key}.weight" in sd:
+        params["whiten"] = {
+            "kernel": _np(sd[f"{whiten_key}.weight"]).T,
+            "bias": _np(sd[f"{whiten_key}.bias"]),
+        }
+    if f"{netvlad_prefix}centroids" in sd:
+        params["centroids"] = _np(sd[f"{netvlad_prefix}centroids"])
+        # NetVLAD's 1x1 conv [K, C, 1, 1] -> assign_w [C, K]
+        w = _np(sd[f"{netvlad_prefix}conv.weight"])
+        params["assign_w"] = w.reshape(w.shape[0], w.shape[1]).T
+        bkey = f"{netvlad_prefix}conv.bias"
+        if bkey in sd:
+            params["assign_b"] = _np(sd[bkey])
+    return variables

@@ -1,0 +1,99 @@
+"""Fused GeM pooling + L2 normalization Pallas kernel.
+
+Replaces the reference's ATen reduction + separate normalize
+(`layers/pooling.py` + `layers/normalization.py`, SURVEY.md §2.1: the
+"fused clamp→pow(p)→mean→pow(1/p)→L2N" kernel BASELINE.json:5 calls for).
+
+One pass over the feature map in VMEM-sized chunks: the HBM traffic is
+exactly one read of the [B, H*W, C] features and one write of [B, C]
+descriptors — the elementwise chain and both reductions never round-trip to
+HBM. Grid is (B, spatial-chunks); a VMEM scratch carries the running sum of
+clamp(x, eps)^p; the final chunk applies mean, pow(1/p), and the L2
+normalization.
+
+TPU lowering notes (learned on hardware, not interpret mode):
+  * the output block is the full [B, C] array (a [1, C] row block violates
+    the (8, 128) tile-divisibility rule when B % 8 != 0) — each grid step
+    writes only its row;
+  * spatial padding to a chunk multiple is masked *inside* the kernel from
+    static shapes (program_id vs. true N), so no mask input is needed.
+
+Used on full-valid batches (no padding mask); the masked path stays on the
+XLA oracle (`ops.pooling.gem`), which XLA also fuses well.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GEM_EPS = 1e-6
+L2N_EPS = 1e-6
+
+
+def _kernel(p_ref, x_ref, out_ref, acc_ref, *, n_chunks: int, n_total: int, chunk: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[0]
+    x = x_ref[0].astype(jnp.float32)            # [chunk, C]
+    xp = jnp.power(jnp.clip(x, min=GEM_EPS), p)
+    # static tail masking: rows past the true spatial size contribute 0
+    row = j * chunk + jax.lax.broadcasted_iota(jnp.int32, xp.shape, 0)
+    xp = jnp.where(row < n_total, xp, 0.0)
+    acc_ref[...] += jnp.sum(xp, axis=0, keepdims=True)  # [1, C]
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        pooled = jnp.power(acc_ref[0] / n_total, 1.0 / p)  # [C]
+        norm = jnp.sqrt(jnp.sum(pooled * pooled))
+        out_ref[i, :] = pooled / (norm + L2N_EPS)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def gem_l2n_fused(
+    feats: jnp.ndarray,
+    p: jnp.ndarray | float,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused ``l2n(gem(feats, p))``. feats: [B, H, W, C] or [B, N, C] -> [B, C]."""
+    if feats.ndim == 4:
+        B, H, W, C = feats.shape
+        feats = feats.reshape(B, H * W, C)
+    B, N, C = feats.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    chunk = min(chunk, max(8, -(-N // 8) * 8))
+    chunk = -(-chunk // 8) * 8  # sublane-aligned
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+
+    p_arr = jnp.asarray(p, jnp.float32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_chunks=n_chunks, n_total=N, chunk=chunk),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, chunk, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((B, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, C), jnp.float32)],
+        interpret=interpret,
+    )(p_arr, feats)
+    return out

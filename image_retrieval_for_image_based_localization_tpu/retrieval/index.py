@@ -1,0 +1,126 @@
+"""The descriptor Index: whitening + gallery + exact search + persistence.
+
+Mirrors the reference's index-build phase (extract db vectors → learn/apply
+whitening → keep the matrix for brute-force scoring, SURVEY.md §3.1), made a
+first-class checkpointed artifact (SURVEY.md §5 "Checkpoint/resume"): the
+gallery matrix, whitening ``(m, P)``, and the image-id list save/load as one
+unit (compressed npz — memory-mappable and dependency-free).
+
+Search is exact: single-device streaming top-k (``retrieval.knn``) or, when
+given a mesh, the multi-chip sharded gallery (``parallel.sharded_index``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from image_retrieval_for_image_based_localization_tpu.ops.whitening import (
+    pca_whiten_learn,
+    whiten_learn,
+    whiten_apply,
+)
+from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+    knn_search,
+    full_ranks,
+)
+from image_retrieval_for_image_based_localization_tpu.utils.config import IndexConfig
+
+
+@dataclasses.dataclass
+class Index:
+    """Exact-search descriptor index."""
+
+    gallery: np.ndarray                 # [N, D'] whitened, L2-normalized
+    m: Optional[np.ndarray] = None      # whitening mean [D]
+    P: Optional[np.ndarray] = None      # whitening projection [D', D]
+    dims: Optional[int] = None
+    ids: Optional[np.ndarray] = None    # image identifiers (or indices)
+
+    @classmethod
+    def build(
+        cls,
+        descriptors: np.ndarray,
+        cfg: IndexConfig = IndexConfig(),
+        ids: Optional[Sequence] = None,
+        pairs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> "Index":
+        """Learn whitening on the gallery descriptors and build the index.
+
+        ``pairs=(qidxs, pidxs)`` enables supervised Lw whitening.
+        """
+        descriptors = np.asarray(descriptors, dtype=np.float32)
+        m = P = None
+        if cfg.whitening == "pca":
+            m, P = pca_whiten_learn(descriptors, shrinkage=cfg.shrinkage)
+        elif cfg.whitening == "lw":
+            if pairs is None:
+                raise ValueError("Lw whitening requires pairs=(qidxs, pidxs)")
+            m, P = whiten_learn(descriptors, pairs[0], pairs[1])
+        elif cfg.whitening is not None:
+            raise ValueError(f"unknown whitening {cfg.whitening!r}")
+
+        gallery = descriptors
+        if P is not None:
+            gallery = np.asarray(
+                whiten_apply(jnp.asarray(descriptors), jnp.asarray(m), jnp.asarray(P), cfg.whiten_dims),
+                dtype=np.float32,
+            )
+        return cls(
+            gallery=gallery,
+            m=None if m is None else np.asarray(m, np.float32),
+            P=None if P is None else np.asarray(P, np.float32),
+            dims=cfg.whiten_dims,
+            ids=None if ids is None else np.asarray(ids),
+        )
+
+    def transform_queries(self, qdescriptors: np.ndarray) -> np.ndarray:
+        """Apply the index's whitening to query descriptors."""
+        q = np.asarray(qdescriptors, dtype=np.float32)
+        if self.P is None:
+            return q
+        return np.asarray(
+            whiten_apply(jnp.asarray(q), jnp.asarray(self.m), jnp.asarray(self.P), self.dims),
+            dtype=np.float32,
+        )
+
+    def query(self, qdescriptors: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k exact search. Returns (scores [Nq,k], indices [Nq,k])."""
+        q = self.transform_queries(qdescriptors)
+        scores, idx = knn_search(jnp.asarray(self.gallery), jnp.asarray(q), k=k)
+        return np.asarray(scores), np.asarray(idx)
+
+    def ranks(self, qdescriptors: np.ndarray) -> np.ndarray:
+        """Full ranking [N, Nq] for mAP evaluation."""
+        q = self.transform_queries(qdescriptors)
+        return full_ranks(self.gallery, q)
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        meta = {"dims": self.dims, "version": 1}
+        np.savez_compressed(
+            path,
+            gallery=self.gallery,
+            m=np.zeros(0) if self.m is None else self.m,
+            P=np.zeros((0, 0)) if self.P is None else self.P,
+            ids=np.zeros(0) if self.ids is None else self.ids,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Index":
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["meta"]).decode())
+        m = z["m"] if z["m"].size else None
+        P = z["P"] if z["P"].size else None
+        ids = z["ids"] if z["ids"].size else None
+        return cls(gallery=z["gallery"], m=m, P=P, dims=meta.get("dims"), ids=ids)

@@ -1,0 +1,126 @@
+"""Exact brute-force kNN over a descriptor gallery (single device).
+
+The reference's matcher is a dense BLAS matmul + host argsort
+(`scores = vecs.T @ qvecs; ranks = argsort(-scores)` — SURVEY.md §3.1 hot
+loop 2). TPU-native redesign: the score matrix is a blocked MXU matmul over
+gallery chunks streamed from HBM, with a running top-k merge per chunk
+(``lax.top_k`` on the concatenation of carried and fresh candidates) inside a
+``lax.scan`` — O(k + chunk) memory per query instead of O(N), which is what
+lets a 1M-descriptor gallery stream. The multi-chip version
+(``parallel.sharded_index``) runs this same core per shard and merges.
+
+Tie-breaking: lower-index-wins on exact ties, matching NumPy
+``argsort(-scores, kind='stable')`` so ranking parity with the reference is
+exact on identical score matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def score_matrix(gallery: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Dense similarity scores ``[Nq, Ng] = queries @ gallery.T`` in f32 on MXU."""
+    return jax.lax.dot_general(
+        queries,
+        gallery,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def merge_topk(
+    scores: jnp.ndarray, idx: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k by score with deterministic lower-index-wins tie-breaking.
+
+    ``lax.top_k`` prefers earlier positions on equal values, so candidates
+    are first ordered by index ascending; ties then resolve to the lower
+    gallery index across any merge sequence.
+    """
+    order = jnp.argsort(idx, axis=-1)
+    scores = jnp.take_along_axis(scores, order, axis=-1)
+    idx = jnp.take_along_axis(idx, order, axis=-1)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    return top_scores, jnp.take_along_axis(idx, pos, axis=-1)
+
+
+def streaming_topk(
+    gallery: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    chunk: int = 16384,
+    n_valid: int | jnp.ndarray | None = None,
+    index_offset: int | jnp.ndarray = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Core streaming top-k: scan gallery chunks, carry the running top-k.
+
+    Shard-safe: ``n_valid`` masks padded gallery rows (scores -> -inf),
+    ``index_offset`` maps local row numbers to global gallery indices. Both
+    may be traced values, so this composes with ``shard_map``.
+    """
+    Ng, D = gallery.shape
+    Nq = queries.shape[0]
+    k = min(k, Ng)
+    chunk = min(chunk, Ng)
+    if n_valid is None:
+        n_valid = Ng
+
+    nchunks = -(-Ng // chunk)
+    pad = nchunks * chunk - Ng
+    if pad:
+        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+    gblocks = gallery.reshape(nchunks, chunk, D)
+
+    init_scores = jnp.full((Nq, k), NEG_INF, dtype=jnp.float32)
+    init_idx = jnp.full((Nq, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+    def body(carry, inp):
+        cur_s, cur_i = carry
+        block, cstart = inp
+        s = score_matrix(block, queries)  # [Nq, chunk]
+        lidx = cstart + jax.lax.broadcasted_iota(jnp.int32, (Nq, chunk), 1)
+        s = jnp.where(lidx < n_valid, s, NEG_INF)
+        cand_s = jnp.concatenate([cur_s, s], axis=1)
+        cand_i = jnp.concatenate([cur_i, lidx + index_offset], axis=1)
+        return merge_topk(cand_s, cand_i, k), None
+
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = jax.lax.scan(body, (init_scores, init_idx), (gblocks, starts))
+    return scores, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_search(
+    gallery: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    chunk: int = 16384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k search: returns ``(scores [Nq,k], indices [Nq,k])``."""
+    return streaming_topk(gallery, queries, k=k, chunk=chunk)
+
+
+def full_ranks(gallery, queries, batch: int = 256) -> np.ndarray:
+    """Full ranking ``[Ng, Nq]`` for mAP evaluation (host-side argsort).
+
+    Matches the reference eval path exactly: dense scores, descending stable
+    argsort per query (SURVEY.md §3.1). Queries are batched to bound device
+    memory for large galleries.
+    """
+    gallery = jnp.asarray(gallery)
+    Nq = queries.shape[0]
+    score_fn = jax.jit(score_matrix)
+    ranks = []
+    for s in range(0, Nq, batch):
+        q = jnp.asarray(queries[s : s + batch])
+        scores = np.asarray(score_fn(gallery, q))  # [b, Ng]
+        ranks.append(np.argsort(-scores, axis=1, kind="stable").T)  # [Ng, b]
+    return np.concatenate(ranks, axis=1)

@@ -1,0 +1,101 @@
+"""Typed configuration system.
+
+The reference configures via argparse flags with model hyperparameters
+serialized into a checkpoint ``meta`` dict (SURVEY.md §2 "Config system";
+reference mount empty). Here: frozen dataclasses, plus the five graded
+benchmark configs from BASELINE.json:6-12 as the shipped config matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Multi-scale pyramid used by the reference lineage: [1, 1/sqrt(2), 1/2]
+DEFAULT_SCALES: Tuple[float, ...] = (1.0, 2 ** -0.5, 0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "resnet50"
+    pooling: str = "gem"
+    whiten_dim: Optional[int] = None  # learned FC whitening inside the model
+    netvlad_clusters: int = 64
+    gem_p: float = 3.0
+    dtype: str = "float32"  # 'float32' | 'bfloat16' (compute dtype)
+    use_pallas: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractConfig:
+    model: ModelConfig = ModelConfig()
+    image_size: int = 1024          # max-side resize target
+    scales: Tuple[float, ...] = (1.0,)
+    batch_size: int = 16
+    # multi-scale power: None -> GeM p when pooling is gem without whitening,
+    # else 1 (reference semantics, SURVEY.md §7 "multi-scale semantics")
+    msp: Optional[float] = None
+    bucket_multiple: int = 32       # pad H/W up to multiples of this (stride)
+    squarify: bool = False          # True: resize to square (fast path)
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    whitening: Optional[str] = "pca"  # 'pca' | 'lw' | None
+    whiten_dims: Optional[int] = None  # truncate to this many dims
+    shrinkage: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GradedConfig:
+    name: str
+    extract: ExtractConfig
+    index: IndexConfig
+    dataset: str
+    note: str = ""
+
+
+# The five graded benchmark configs (BASELINE.json:6-12).
+GRADED_CONFIGS = {
+    1: GradedConfig(
+        name="r18-gem-oxford5k-subset",
+        extract=ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=362, scales=(1.0,)),
+        index=IndexConfig(whitening=None),
+        dataset="oxford5k-subset",
+        note="CPU-runnable, single scale, brute-force kNN",
+    ),
+    2: GradedConfig(
+        name="r50-gem-pca-roxford5k",
+        extract=ExtractConfig(model=ModelConfig(arch="resnet50"), image_size=1024, scales=DEFAULT_SCALES),
+        index=IndexConfig(whitening="pca"),
+        dataset="roxford5k",
+        note="multi-scale extraction, PCA whitening",
+    ),
+    3: GradedConfig(
+        name="vgg16-netvlad-rparis6k",
+        extract=ExtractConfig(
+            model=ModelConfig(arch="vgg16", pooling="netvlad", use_pallas=True),
+            image_size=1024,
+        ),
+        index=IndexConfig(whitening="pca", whiten_dims=4096),
+        dataset="rparis6k",
+        note="exercises the NetVLAD soft-assignment kernel",
+    ),
+    4: GradedConfig(
+        name="r101-gem-100k-sharded",
+        extract=ExtractConfig(model=ModelConfig(arch="resnet101", dtype="bfloat16"), image_size=1024),
+        index=IndexConfig(whitening="pca"),
+        dataset="roxford5k+100k",
+        note="100k distractor gallery sharded across chips, distributed top-k",
+    ),
+    5: GradedConfig(
+        name="aachen-1m-pod",
+        extract=ExtractConfig(
+            model=ModelConfig(arch="resnet101", dtype="bfloat16", use_pallas=True),
+            image_size=1024,
+        ),
+        index=IndexConfig(whitening="pca"),
+        dataset="aachen-day-night",
+        note="1M-descriptor gallery, batched query streaming at pod scale",
+    ),
+}

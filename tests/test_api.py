@@ -1,0 +1,122 @@
+"""End-to-end API: extract_features -> build_index -> query -> mAP.
+
+The minimum end-to-end slice of SURVEY.md §7 as a test: synthetic images,
+ResNet-18 + GeM, brute-force kNN, ranking parity with the NumPy pipeline.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from irtpu import extract_features, build_index, query, Extractor
+from irtpu import ExtractConfig, IndexConfig, ModelConfig
+from irtpu.evaluation import compute_map
+from irtpu.retrieval import Index
+
+
+CFG = ExtractConfig(
+    model=ModelConfig(arch="resnet18", pooling="gem"),
+    image_size=64,
+    batch_size=4,
+)
+
+
+def synth_images(n, seed=0, size=60):
+    rng = np.random.RandomState(seed)
+    return [rng.rand(size, size + (i % 3) * 8, 3).astype(np.float32) for i in range(n)]
+
+
+def test_end_to_end_pipeline():
+    ex = Extractor(CFG)
+    db = ex.extract(synth_images(10))
+    q = ex.extract(synth_images(3, seed=7))
+    assert db.shape == (10, 512) and q.shape == (3, 512)
+    np.testing.assert_allclose(np.linalg.norm(db, axis=1), 1.0, atol=1e-3)
+
+    index = build_index(db, IndexConfig(whitening=None))
+    scores, idx = query(index, q, k=5)
+    assert scores.shape == (3, 5) and idx.shape == (3, 5)
+
+    # ranking parity with the NumPy pipeline
+    want = np.argsort(-(q @ db.T), axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, want)
+
+
+def test_self_retrieval():
+    """An image must retrieve itself at rank 0."""
+    ex = Extractor(CFG)
+    imgs = synth_images(8, seed=1)
+    db = ex.extract(imgs)
+    index = build_index(db, IndexConfig(whitening=None))
+    _, idx = query(index, db, k=1)
+    np.testing.assert_array_equal(idx[:, 0], np.arange(8))
+
+
+def test_extraction_deterministic():
+    ex = Extractor(CFG)
+    imgs = synth_images(4, seed=2)
+    d1 = ex.extract(imgs)
+    d2 = ex.extract(imgs)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_whitened_index_end_to_end():
+    ex = Extractor(CFG)
+    db = ex.extract(synth_images(12, seed=3))
+    index = build_index(db, IndexConfig(whitening="pca", whiten_dims=64))
+    q = ex.extract(synth_images(2, seed=4))
+    scores, idx = query(index, q, k=3)
+    assert idx.shape == (2, 3)
+    # whitened gallery is L2-normalized [N, 64]
+    assert index.gallery.shape == (12, 64)
+    np.testing.assert_allclose(np.linalg.norm(index.gallery, axis=1), 1.0, atol=1e-3)
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    db = rng.randn(20, 32).astype(np.float32)
+    index = build_index(db, IndexConfig(whitening="pca"), ids=np.arange(20))
+    path = str(tmp_path / "index.npz")
+    index.save(path)
+    loaded = Index.load(path)
+    np.testing.assert_array_equal(loaded.gallery, index.gallery)
+    np.testing.assert_array_equal(loaded.ids, index.ids)
+    q = rng.randn(3, 32).astype(np.float32)
+    np.testing.assert_array_equal(index.query(q, 5)[1], loaded.query(q, 5)[1])
+
+
+def test_multiscale_extraction():
+    cfg = ExtractConfig(
+        model=ModelConfig(arch="resnet18", pooling="gem"),
+        image_size=64,
+        batch_size=2,
+        scales=(1.0, 2 ** -0.5, 0.5),
+    )
+    ex = Extractor(cfg)
+    imgs = synth_images(2, seed=5)
+    d = ex.extract(imgs)
+    assert d.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-3)
+    # multi-scale differs from single-scale
+    d1 = Extractor(CFG, variables=ex.variables).extract(imgs)
+    assert np.abs(d - d1).max() > 1e-4
+
+
+def test_map_on_synthetic_clusters():
+    """Descriptors of noisy copies must retrieve their source cluster."""
+    rng = np.random.RandomState(6)
+    protos = [rng.rand(60, 60, 3).astype(np.float32) for _ in range(3)]
+    db_imgs, gnd_ok = [], {i: [] for i in range(3)}
+    for k in range(4):
+        for i, p in enumerate(protos):
+            gnd_ok[i].append(len(db_imgs))
+            db_imgs.append(np.clip(p + rng.randn(60, 60, 3) * 0.02, 0, 1).astype(np.float32))
+    q_imgs = [np.clip(p + rng.randn(60, 60, 3) * 0.02, 0, 1).astype(np.float32) for p in protos]
+
+    ex = Extractor(CFG)
+    db = ex.extract(db_imgs)
+    qd = ex.extract(q_imgs)
+    index = build_index(db, IndexConfig(whitening=None))
+    ranks = index.ranks(qd)
+    gnd = [{"ok": np.array(gnd_ok[i]), "junk": np.array([])} for i in range(3)]
+    m, _, _, _ = compute_map(ranks, gnd)
+    assert m > 0.95, m

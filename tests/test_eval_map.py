@@ -1,0 +1,63 @@
+"""mAP oracle tests: hand-computed APs on tiny synthetic gnd (SURVEY.md §4)."""
+
+import numpy as np
+
+from irtpu.evaluation import compute_ap, compute_map, compute_map_revisited
+
+
+def test_compute_ap_perfect():
+    # positives at ranks 0,1,2 out of 3 -> AP = 1
+    assert abs(compute_ap(np.array([0, 1, 2]), 3) - 1.0) < 1e-9
+
+
+def test_compute_ap_hand_computed():
+    # one positive at rank 1 (0-based): trapezoidal AP
+    # precision_0 = 0/1 = 0, precision_1 = 1/2 -> ap = (0 + 0.5)/2 = 0.25
+    assert abs(compute_ap(np.array([1]), 1) - 0.25) < 1e-9
+
+
+def test_compute_map_single_query():
+    # 5 db images; query's positives are {0, 3}; ranking: [2, 0, 4, 3, 1]
+    ranks = np.array([[2], [0], [4], [3], [1]])
+    gnd = [{"ok": np.array([0, 3]), "junk": np.array([])}]
+    m, aps, _, _ = compute_map(ranks, gnd)
+    # positives at 0-based positions 1 and 3
+    want = compute_ap(np.array([1, 3]), 2)
+    assert abs(m - want) < 1e-9
+
+
+def test_junk_removal():
+    # junk image ranked before the positive must not count against it
+    ranks = np.array([[2], [0], [1]])  # db order: 2 (junk), 0 (pos), 1
+    gnd = [{"ok": np.array([0]), "junk": np.array([2])}]
+    m, _, _, _ = compute_map(ranks, gnd)
+    # after junk removal the positive is at position 0 -> AP 1
+    assert abs(m - 1.0) < 1e-9
+
+
+def test_empty_query_excluded():
+    ranks = np.array([[0, 0], [1, 1]])
+    gnd = [{"ok": np.array([0])}, {"ok": np.array([])}]
+    m, aps, _, _ = compute_map(ranks, gnd)
+    assert abs(m - 1.0) < 1e-9
+    assert np.isnan(aps[1])
+
+
+def test_revisited_protocols():
+    ranks = np.tile(np.arange(4)[:, None], (1, 1))  # identity ranking
+    gnd = [{"easy": [0], "hard": [1], "junk": [2]}]
+    res = compute_map_revisited(ranks, gnd)
+    # easy: ok={0} at rank 0 -> AP 1
+    assert abs(res["easy"]["map"] - 1.0) < 1e-9
+    # hard: ok={1}, junk={2, 0}; after removing junk, 1 is at position 0 -> AP 1
+    assert abs(res["hard"]["map"] - 1.0) < 1e-9
+    # medium: ok={0,1}, junk={2}: positions 0 and 1 -> AP 1
+    assert abs(res["medium"]["map"] - 1.0) < 1e-9
+
+
+def test_precision_at_k():
+    ranks = np.array([[0], [1], [2], [3]])
+    gnd = [{"ok": np.array([0, 2])}]
+    _, _, pr, _ = compute_map(ranks, gnd, kappas=[1, 3])
+    assert abs(pr[0] - 1.0) < 1e-9          # p@1 = 1
+    assert abs(pr[1] - 2.0 / 3.0) < 1e-9     # p@3 = 2/3

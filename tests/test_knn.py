@@ -1,0 +1,61 @@
+"""Exact kNN: parity with NumPy argsort including ties and chunking."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from irtpu.retrieval import knn_search, full_ranks
+
+
+def _np_topk(gallery, queries, k):
+    scores = queries @ gallery.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_matches_numpy():
+    rng = np.random.RandomState(0)
+    g = rng.randn(500, 32).astype(np.float32)
+    q = rng.randn(7, 32).astype(np.float32)
+    s, i = knn_search(jnp.asarray(g), jnp.asarray(q), k=10)
+    ws, wi = _np_topk(g, q, 10)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-5)
+
+
+def test_chunking_invariance():
+    rng = np.random.RandomState(1)
+    g = rng.randn(1000, 16).astype(np.float32)
+    q = rng.randn(3, 16).astype(np.float32)
+    s1, i1 = knn_search(jnp.asarray(g), jnp.asarray(q), k=25, chunk=64)
+    s2, i2 = knn_search(jnp.asarray(g), jnp.asarray(q), k=25, chunk=1000)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_tie_breaking_lower_index_wins():
+    # duplicate gallery rows -> identical scores; stable argsort picks the
+    # lower index first, and so must we (SURVEY.md §7 hard parts).
+    g = np.zeros((6, 4), np.float32)
+    g[1] = g[4] = [1, 0, 0, 0]
+    g[2] = g[5] = [0.5, 0, 0, 0]
+    q = np.array([[1, 0, 0, 0]], np.float32)
+    s, i = knn_search(jnp.asarray(g), jnp.asarray(q), k=4, chunk=2)
+    ws, wi = _np_topk(g, q, 4)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_k_larger_than_gallery_clamped():
+    g = np.eye(3, 8, dtype=np.float32)
+    q = np.eye(2, 8, dtype=np.float32)
+    s, i = knn_search(jnp.asarray(g), jnp.asarray(q), k=10)
+    assert i.shape == (2, 3)
+    assert i[0, 0] == 0 and i[1, 0] == 1
+
+
+def test_full_ranks_matches_numpy():
+    rng = np.random.RandomState(2)
+    g = rng.randn(50, 8).astype(np.float32)
+    q = rng.randn(5, 8).astype(np.float32)
+    ranks = full_ranks(g, q, batch=2)
+    want = np.argsort(-(q @ g.T), axis=1, kind="stable").T
+    np.testing.assert_array_equal(ranks, want)

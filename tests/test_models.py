@@ -1,0 +1,140 @@
+"""Model layer: shapes, mask invariance, and torch-oracle weight-port parity.
+
+"Same weights ⇒ same descriptors" (SURVEY.md §7 hard parts: parity without
+torchvision) — randomized torch trunks are ported through
+``models.torch_port`` and must reproduce outputs to f32 tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from irtpu.models import RetrievalNet, create_model
+from irtpu.models.torch_port import port_resnet_trunk, port_vgg_trunk
+
+
+def _np_input(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+class TestShapes:
+    @pytest.mark.parametrize(
+        "arch,dim", [("resnet18", 512), ("resnet50", 2048), ("vgg16", 512)]
+    )
+    def test_descriptor_shape(self, arch, dim):
+        model = create_model(arch=arch, pooling="gem")
+        x = jnp.asarray(_np_input((2, 64, 64, 3)))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        d = model.apply(variables, x)
+        assert d.shape == (2, dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-4
+        )
+
+    def test_netvlad_shape(self):
+        model = create_model(arch="resnet18", pooling="netvlad", netvlad_clusters=8)
+        x = jnp.asarray(_np_input((1, 64, 64, 3)))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        d = model.apply(variables, x)
+        assert d.shape == (1, 512 * 8)
+
+    def test_whiten_fc(self):
+        model = create_model(arch="resnet18", pooling="gem", whiten_dim=128)
+        x = jnp.asarray(_np_input((1, 64, 64, 3)))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        d = model.apply(variables, x)
+        assert d.shape == (1, 128)
+
+
+class TestMaskInvariance:
+    def test_padded_equals_unpadded(self):
+        """A padded+masked image must produce the same descriptor as unpadded."""
+        model = create_model(arch="resnet18", pooling="gem")
+        img = _np_input((1, 64, 96, 3), 1)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+
+        d_ref = model.apply(variables, jnp.asarray(img))
+
+        padded = np.zeros((1, 96, 96, 3), np.float32)
+        padded[:, :64, :96] = img
+        mask = np.zeros((1, 96, 96), bool)
+        mask[:, :64, :96] = True
+        d_pad = model.apply(variables, jnp.asarray(padded), mask=jnp.asarray(mask))
+
+        # Feature bleed at the pad boundary (conv receptive field) makes this
+        # approximate, not bitwise. This is the worst case by construction: a
+        # 64x96 input gives a 2x3 feature map where every cell touches the
+        # pad; at production sizes (1024px -> 32x32 cells) only the boundary
+        # ring is affected. Descriptors are unit-norm: cosine must be ~1,
+        # and crucially far above the ~0 cosine of unrelated random images.
+        cos = float(np.sum(np.asarray(d_ref) * np.asarray(d_pad)))
+        assert cos > 0.97, cos
+
+
+class TestTorchParity:
+    def _compare_trunk(self, torch_model, flax_variables, arch, seed=0, tol=2e-4):
+        import torch
+
+        from irtpu.models import ResNetTrunk, VGGTrunk
+
+        x = _np_input((1, 64, 64, 3), seed)
+        with torch.no_grad():
+            torch_model.eval()
+            want = (
+                torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+                .numpy()
+                .transpose(0, 2, 3, 1)
+            )
+        trunk = (
+            ResNetTrunk(arch) if arch.startswith("resnet") else VGGTrunk(arch)
+        )
+        got = np.asarray(trunk.apply(flax_variables, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+    def test_resnet18_trunk_parity(self):
+        from torch_oracles import resnet18_trunk, randomize_bn_stats
+
+        tm = randomize_bn_stats(resnet18_trunk(), 0)
+        v = port_resnet_trunk(tm.state_dict(), "resnet18")
+        self._compare_trunk(tm, {"params": v["params"], "batch_stats": v["batch_stats"]}, "resnet18")
+
+    def test_resnet50_trunk_parity(self):
+        from torch_oracles import resnet50_trunk, randomize_bn_stats
+
+        tm = randomize_bn_stats(resnet50_trunk(), 1)
+        v = port_resnet_trunk(tm.state_dict(), "resnet50")
+        self._compare_trunk(tm, {"params": v["params"], "batch_stats": v["batch_stats"]}, "resnet50", tol=5e-4)
+
+    def test_vgg16_trunk_parity(self):
+        from torch_oracles import VGG16Torch
+
+        tm = VGG16Torch()
+        v = port_vgg_trunk(tm.state_dict())
+        self._compare_trunk(tm, {"params": v["params"]}, "vgg16", tol=5e-4)
+
+    def test_full_descriptor_parity_resnet18_gem(self):
+        """Trunk port + GeM + L2N: full-descriptor torch-vs-jax parity."""
+        import torch
+        import torch.nn.functional as F
+
+        from torch_oracles import resnet18_trunk, randomize_bn_stats
+        from irtpu.models.torch_port import port_retrieval_net
+
+        tm = randomize_bn_stats(resnet18_trunk(), 2).eval()
+        p = 3.0
+        x = _np_input((1, 64, 64, 3), 3)
+        with torch.no_grad():
+            f = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            pooled = F.avg_pool2d(f.clamp(min=1e-6).pow(p), f.shape[-2:]).pow(1.0 / p)
+            pooled = pooled.squeeze(-1).squeeze(-1)
+            want = (pooled / (pooled.norm(dim=1, keepdim=True) + 1e-6)).numpy()
+
+        sd = {f"features.{k}": v for k, v in tm.state_dict().items()}
+        sd["pool.p"] = torch.tensor(p)
+        variables = port_retrieval_net(sd, "resnet18")
+        variables = jax.tree.map(jnp.asarray, variables)
+        model = RetrievalNet(arch="resnet18", pooling="gem")
+        got = np.asarray(model.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)

@@ -1,0 +1,73 @@
+"""Pallas kernels vs their jnp oracles (interpret mode on CPU; SURVEY.md §7.6)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from irtpu.ops import gem, l2n, netvlad_aggregate
+from irtpu.ops.pallas import gem_l2n_fused, netvlad_fused
+
+
+def test_gem_l2n_fused_matches_oracle():
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 8, 8, 128).astype(np.float32)
+    p = 3.0
+    got = np.asarray(gem_l2n_fused(jnp.asarray(x), p, interpret=True))
+    want = np.asarray(l2n(gem(jnp.asarray(x), p)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_gem_l2n_fused_chunked():
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 10, 13, 128).astype(np.float32)  # 130 positions, chunk 64
+    got = np.asarray(gem_l2n_fused(jnp.asarray(x), 2.5, chunk=64, interpret=True))
+    want = np.asarray(l2n(gem(jnp.asarray(x), 2.5)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_gem_l2n_fused_learnable_p_array():
+    rng = np.random.RandomState(2)
+    x = rng.rand(3, 4, 4, 128).astype(np.float32)
+    p = jnp.asarray(3.7, jnp.float32)
+    got = np.asarray(gem_l2n_fused(jnp.asarray(x), p, interpret=True))
+    want = np.asarray(l2n(gem(jnp.asarray(x), p)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_netvlad_fused_matches_oracle():
+    rng = np.random.RandomState(3)
+    B, N, C, K = 2, 96, 128, 8
+    x = rng.randn(B, N, C).astype(np.float32)
+    c = rng.randn(K, C).astype(np.float32)
+    W = (rng.randn(C, K) * 0.1).astype(np.float32)
+    b = rng.randn(K).astype(np.float32)
+    got = np.asarray(
+        netvlad_fused(jnp.asarray(x), jnp.asarray(c), jnp.asarray(W), jnp.asarray(b), interpret=True)
+    )
+    want = np.asarray(
+        netvlad_aggregate(jnp.asarray(x), jnp.asarray(c), jnp.asarray(W), jnp.asarray(b))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_netvlad_fused_chunked_and_masked():
+    rng = np.random.RandomState(4)
+    B, N, C, K = 1, 100, 128, 4
+    x = rng.randn(B, N, C).astype(np.float32)
+    c = rng.randn(K, C).astype(np.float32)
+    W = (rng.randn(C, K) * 0.1).astype(np.float32)
+    b = np.zeros(K, np.float32)
+    mask = np.zeros((B, N), np.float32)
+    mask[:, :70] = 1
+    got = np.asarray(
+        netvlad_fused(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(W), jnp.asarray(b),
+            mask=jnp.asarray(mask), chunk=32, interpret=True,
+        )
+    )
+    want = np.asarray(
+        netvlad_aggregate(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(W), jnp.asarray(b),
+            mask=jnp.asarray(mask),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,132 @@
+"""Pooling ops vs NumPy/torch oracles (SURVEY.md §4: unit tests vs oracles)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from irtpu.ops import gem, mac, spoc, rmac, l2n
+
+
+def rand(shape, seed=0):
+    return np.random.RandomState(seed).rand(*shape).astype(np.float32)
+
+
+class TestGeM:
+    def test_matches_numpy_formula(self):
+        x = rand((2, 7, 9, 16))
+        p = 3.0
+        got = np.asarray(gem(jnp.asarray(x), p))
+        want = (np.clip(x, 1e-6, None) ** p).mean(axis=(1, 2)) ** (1.0 / p)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_matches_torch_oracle(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        x = rand((3, 5, 6, 8))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+        p = 2.6
+        want = (
+            F.avg_pool2d(xt.clamp(min=1e-6).pow(p), (5, 6))
+            .pow(1.0 / p)
+            .squeeze(-1)
+            .squeeze(-1)
+            .numpy()
+        )
+        got = np.asarray(gem(jnp.asarray(x), p))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_p1_is_mean(self):
+        x = rand((1, 4, 4, 3), 1) + 0.1
+        np.testing.assert_allclose(
+            np.asarray(gem(jnp.asarray(x), 1.0)), x.mean(axis=(1, 2)), rtol=1e-5
+        )
+
+    def test_masked_equals_cropped(self):
+        x = rand((1, 8, 8, 4), 2)
+        mask = np.zeros((1, 8, 8), bool)
+        mask[:, :5, :6] = True
+        got = np.asarray(gem(jnp.asarray(x), 3.0, mask=jnp.asarray(mask)))
+        want = np.asarray(gem(jnp.asarray(x[:, :5, :6]), 3.0))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_unmasked_padding_would_corrupt(self):
+        # The mAP-killer scenario SURVEY.md §7 warns about: zero padding
+        # changes the mean unless masked.
+        x = rand((1, 4, 4, 2), 3)
+        xp = np.zeros((1, 8, 8, 2), np.float32)
+        xp[:, :4, :4] = x
+        mask = np.zeros((1, 8, 8), bool)
+        mask[:, :4, :4] = True
+        good = np.asarray(gem(jnp.asarray(xp), 3.0, mask=jnp.asarray(mask)))
+        bad = np.asarray(gem(jnp.asarray(xp), 3.0))
+        want = np.asarray(gem(jnp.asarray(x), 3.0))
+        np.testing.assert_allclose(good, want, rtol=1e-5)
+        assert np.abs(bad - want).max() > 1e-3
+
+
+class TestMacSpoc:
+    def test_mac(self):
+        x = rand((2, 5, 5, 7))
+        np.testing.assert_allclose(
+            np.asarray(mac(jnp.asarray(x))), x.max(axis=(1, 2)), rtol=1e-6
+        )
+
+    def test_spoc(self):
+        x = rand((2, 5, 5, 7))
+        np.testing.assert_allclose(
+            np.asarray(spoc(jnp.asarray(x))), x.mean(axis=(1, 2)), rtol=1e-5
+        )
+
+    def test_mac_masked(self):
+        x = rand((1, 6, 6, 3), 4)
+        mask = np.zeros((1, 6, 6), bool)
+        mask[:, :3, :4] = True
+        got = np.asarray(mac(jnp.asarray(x), mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(got, x[:, :3, :4].max(axis=(1, 2)), rtol=1e-6)
+
+    def test_spoc_masked(self):
+        x = rand((1, 6, 6, 3), 5)
+        mask = np.zeros((1, 6, 6), bool)
+        mask[:, :2, :5] = True
+        got = np.asarray(spoc(jnp.asarray(x), mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(got, x[:, :2, :5].mean(axis=(1, 2)), rtol=1e-5)
+
+
+class TestRMAC:
+    def test_includes_global_mac(self):
+        # On a tiny map where regions cover everything, rmac >= l2n(mac).
+        x = rand((1, 8, 8, 16), 6)
+        v = np.asarray(rmac(jnp.asarray(x)))
+        assert v.shape == (1, 16)
+        assert np.isfinite(v).all()
+
+    def test_matches_reference_region_math(self):
+        # Oracle: direct reimplementation of the cirtorch-lineage region
+        # loop in NumPy, including per-region L2N and summation.
+        from irtpu.ops.pooling import rmac_regions
+
+        x = rand((2, 12, 16, 8), 7)
+        regions = rmac_regions(12, 16, L=3)
+        want = x.max(axis=(1, 2))
+        want = want / (np.linalg.norm(want, axis=-1, keepdims=True) + 1e-6)
+        for (yy, xx, hh, ww) in regions:
+            r = x[:, yy : yy + hh, xx : xx + ww, :].max(axis=(1, 2))
+            r = r / (np.linalg.norm(r, axis=-1, keepdims=True) + 1e-6)
+            want = want + r
+        got = np.asarray(rmac(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestL2N:
+    def test_unit_norm(self):
+        x = rand((4, 32), 8)
+        got = np.asarray(l2n(jnp.asarray(x)))
+        np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-4)
+
+    def test_eps_semantics(self):
+        # reference divides by (norm + eps), not max(norm, eps)
+        x = np.ones((1, 4), np.float32)
+        got = np.asarray(l2n(jnp.asarray(x)))
+        want = x / (np.linalg.norm(x) + 1e-6)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -1,0 +1,59 @@
+"""Whitening vs reference math (SURVEY.md §3.4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from irtpu.ops import pca_whiten_learn, whiten_learn, whiten_apply
+
+
+def test_pca_whitening_decorrelates():
+    rng = np.random.RandomState(0)
+    A = rng.randn(16, 16)
+    X = rng.randn(2000, 16) @ A  # correlated descriptors
+    m, P = pca_whiten_learn(X)
+    Xw = (X - m) @ P.T
+    cov = Xw.T @ Xw / X.shape[0]
+    np.testing.assert_allclose(cov, np.eye(16), atol=0.15)
+
+
+def test_whiten_apply_matches_reference_column_math():
+    rng = np.random.RandomState(1)
+    X = rng.randn(40, 8).astype(np.float32)
+    m = rng.randn(8)
+    P = rng.randn(8, 8)
+    got = np.asarray(whiten_apply(jnp.asarray(X), jnp.asarray(m, jnp.float32), jnp.asarray(P, jnp.float32)))
+    # reference: X' = P @ (X_col - m); l2n columns — column-major equivalent
+    Xc = P @ (X.T - m[:, None])
+    want = (Xc / (np.linalg.norm(Xc, axis=0, keepdims=True) + 1e-6)).T
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
+
+
+def test_whiten_apply_dim_truncation():
+    rng = np.random.RandomState(2)
+    X = rng.randn(10, 8).astype(np.float32)
+    m, P = pca_whiten_learn(X)
+    got = np.asarray(whiten_apply(jnp.asarray(X), jnp.asarray(m, jnp.float32), jnp.asarray(P, jnp.float32), dims=4))
+    assert got.shape == (10, 4)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-4)
+
+
+def test_lw_whitening_whitens_pair_differences():
+    rng = np.random.RandomState(3)
+    D, npairs = 12, 400
+    base = rng.randn(npairs, D)
+    noiseA = rng.randn(D, D) * 0.1
+    X = np.concatenate([base, base + rng.randn(npairs, D) @ noiseA], axis=0)
+    qidxs = np.arange(npairs)
+    pidxs = np.arange(npairs) + npairs
+    m, P = whiten_learn(X, qidxs, pidxs)
+    df = (X[qidxs] - X[pidxs]) @ P.T
+    cov = df.T @ df / npairs
+    # pair-difference covariance should be (rotated) identity
+    np.testing.assert_allclose(cov, np.eye(D), atol=0.25)
+
+
+def test_pca_whitening_shrinkage_stabilizes_small_n():
+    rng = np.random.RandomState(4)
+    X = rng.randn(8, 32)  # N < D: singular covariance
+    m, P = pca_whiten_learn(X, shrinkage=0.1)
+    assert np.isfinite(P).all()

@@ -1,0 +1,202 @@
+"""Command-line entry points mirroring the reference's `test.py` / `train.py`
+(SURVEY.md §3.1/§3.2 L5 layer).
+
+Usage:
+    python -m image_retrieval_for_image_based_localization_tpu.cli evaluate \
+        --dataset roxford5k --data-root /data --arch resnet50 --pooling gem \
+        --image-size 1024 --multiscale --whitening pca
+    python -m image_retrieval_for_image_based_localization_tpu.cli extract \
+        --images img1.jpg img2.jpg --arch resnet50 --out descs.npy
+    python -m image_retrieval_for_image_based_localization_tpu.cli train ...
+    python -m image_retrieval_for_image_based_localization_tpu.cli synth \
+        --root /tmp/synth  # generate the offline synthetic dataset
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _model_args(p: argparse.ArgumentParser):
+    p.add_argument("--arch", default="resnet50")
+    p.add_argument("--pooling", default="gem",
+                   choices=["gem", "mac", "spoc", "rmac", "netvlad"])
+    p.add_argument("--whiten-dim", type=int, default=None,
+                   help="learned FC whitening output dim")
+    p.add_argument("--image-size", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--multiscale", action="store_true",
+                   help="use the [1, 1/sqrt2, 1/2] pyramid")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 trunk compute")
+    p.add_argument("--pallas", action="store_true", help="use fused Pallas head")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir (or torch state_dict .pth) to load")
+
+
+def _build_extract_cfg(args):
+    from image_retrieval_for_image_based_localization_tpu.utils.config import (
+        DEFAULT_SCALES,
+        ExtractConfig,
+        ModelConfig,
+    )
+
+    return ExtractConfig(
+        model=ModelConfig(
+            arch=args.arch,
+            pooling=args.pooling,
+            whiten_dim=args.whiten_dim,
+            dtype="bfloat16" if args.bf16 else "float32",
+            use_pallas=args.pallas,
+        ),
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        scales=DEFAULT_SCALES if args.multiscale else (1.0,),
+    )
+
+
+def _load_variables(args, model):
+    if args.checkpoint is None:
+        return None
+    if args.checkpoint.endswith((".pth", ".pt")):
+        import torch
+
+        from image_retrieval_for_image_based_localization_tpu.models.torch_port import (
+            port_retrieval_net,
+        )
+
+        sd = torch.load(args.checkpoint, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        return port_retrieval_net(sd, args.arch)
+    from image_retrieval_for_image_based_localization_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    tree, _ = load_checkpoint(args.checkpoint, name="best")
+    return {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
+
+
+def cmd_extract(argv):
+    p = argparse.ArgumentParser(prog="extract")
+    _model_args(p)
+    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.api import Extractor
+
+    cfg = _build_extract_cfg(args)
+    ex = Extractor(cfg)
+    variables = _load_variables(args, ex.model)
+    if variables is not None:
+        ex = Extractor(cfg, variables=variables)
+    descs = ex.extract(args.images, progress=True)
+    np.save(args.out, descs)
+    print(f"wrote {descs.shape} descriptors to {args.out}")
+
+
+def cmd_evaluate(argv):
+    p = argparse.ArgumentParser(prog="evaluate")
+    _model_args(p)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--whitening", default=None, choices=["pca", "lw", None])
+    p.add_argument("--whiten-dims", type=int, default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="use the multi-chip sharded gallery")
+    p.add_argument("--metrics-out", default=None)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.api import Extractor
+    from image_retrieval_for_image_based_localization_tpu.data.test_datasets import (
+        configdataset,
+    )
+    from image_retrieval_for_image_based_localization_tpu.evaluation.harness import (
+        evaluate_dataset,
+    )
+    from image_retrieval_for_image_based_localization_tpu.utils.config import IndexConfig
+    from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
+        MetricsLogger,
+    )
+
+    dataset = configdataset(args.dataset, args.data_root)
+    cfg = _build_extract_cfg(args)
+    ex = Extractor(cfg)
+    variables = _load_variables(args, ex.model)
+    if variables is not None:
+        ex = Extractor(cfg, variables=variables)
+    evaluate_dataset(
+        dataset,
+        cfg,
+        IndexConfig(whitening=args.whitening, whiten_dims=args.whiten_dims),
+        extractor=ex,
+        logger=MetricsLogger(args.metrics_out, echo=True),
+        use_sharded_index=args.sharded,
+    )
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    _model_args(p)
+    p.add_argument("--loss", default="contrastive", choices=["contrastive", "triplet"])
+    p.add_argument("--margin", type=float, default=0.7)
+    p.add_argument("--lr", type=float, default=1e-6)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--n-neg", type=int, default=5)
+    p.add_argument("--batch-tuples", type=int, default=5)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the generated synthetic corpus (offline mode)")
+    p.add_argument("--data-root", default="/tmp/irtpu_data")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.training.loop import (
+        run_training,
+    )
+
+    run_training(args)
+
+
+def cmd_synth(argv):
+    p = argparse.ArgumentParser(prog="synth")
+    p.add_argument("--root", required=True)
+    p.add_argument("--name", default="synthcity")
+    p.add_argument("--scenes", type=int, default=8)
+    p.add_argument("--views", type=int, default=5)
+    p.add_argument("--distractors", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.data.test_datasets import (
+        make_synthetic_dataset,
+    )
+
+    ds = make_synthetic_dataset(
+        args.root,
+        name=args.name,
+        n_scenes=args.scenes,
+        views_per_scene=args.views,
+        n_distractors=args.distractors,
+    )
+    print(f"created {ds.name}: {ds.n} db images, {ds.nq} queries at {ds.images_dir}")
+
+
+COMMANDS = {
+    "extract": cmd_extract,
+    "evaluate": cmd_evaluate,
+    "train": cmd_train,
+    "synth": cmd_synth,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: ... {{{'|'.join(COMMANDS)}}} [args]", file=sys.stderr)
+        return 2
+    return COMMANDS[argv[0]](argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""End-to-end evaluation harness — the reference's `test.py` stack as a
+library call (SURVEY.md §3.1): extract db + query descriptors (multi-scale,
+query bbx crops), learn/apply whitening, rank, compute mAP per protocol.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from image_retrieval_for_image_based_localization_tpu.api import Extractor
+from image_retrieval_for_image_based_localization_tpu.data.test_datasets import (
+    TestDataset,
+)
+from image_retrieval_for_image_based_localization_tpu.evaluation.map import (
+    compute_map_and_print,
+)
+from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
+from image_retrieval_for_image_based_localization_tpu.utils.config import (
+    ExtractConfig,
+    IndexConfig,
+)
+from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
+    MetricsLogger,
+    phase_timer,
+)
+
+
+def evaluate_dataset(
+    dataset: TestDataset,
+    extract_cfg: ExtractConfig,
+    index_cfg: IndexConfig = IndexConfig(),
+    variables=None,
+    extractor: Optional[Extractor] = None,
+    logger: Optional[MetricsLogger] = None,
+    mesh=None,
+    use_sharded_index: bool = False,
+) -> Dict:
+    """Run the full eval pipeline on a TestDataset; returns the mAP results."""
+    logger = logger or MetricsLogger()
+    ex = extractor or Extractor(extract_cfg, variables=variables, mesh=mesh)
+
+    with phase_timer("extract_db", logger, items=dataset.n):
+        db = ex.extract(dataset.image_paths)
+    with phase_timer("extract_queries", logger, items=dataset.nq):
+        qd = ex.extract(dataset.query_paths, bbxs=dataset.query_bbxs)
+
+    with phase_timer("build_index", logger):
+        index = Index.build(db, index_cfg)
+
+    if use_sharded_index:
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            ShardedIndex,
+        )
+
+        sindex = ShardedIndex.from_index(index, mesh=mesh)
+        with phase_timer("rank", logger, items=dataset.nq):
+            # full ranking via k = N exact top-k (distributed)
+            _, idx = sindex.query(qd, k=index.gallery.shape[0])
+        ranks = idx.T
+    else:
+        with phase_timer("rank", logger, items=dataset.nq):
+            ranks = index.ranks(qd)
+
+    results = compute_map_and_print(dataset.name, ranks, dataset.gnd)
+    return {"results": results, "index": index, "db": db, "queries": qd}

@@ -1,0 +1,182 @@
+"""Contrastive/triplet training — data-parallel over the mesh.
+
+Mirrors the reference's `train.py` loop (SURVEY.md §3.2: Adam, exponential
+lr decay, tuples of (q, p, n1..n5), contrastive loss, per-epoch hard-negative
+re-mining), re-designed TPU-first:
+
+  * tuples are batched ``[B, T, H, W, C]`` and flattened to one big
+    ``[B*T, ...]`` conv batch — the MXU sees a dense batch instead of the
+    reference's bs=1 image-at-a-time backward (SURVEY.md §3.2 hot loop);
+  * data parallelism via jit sharding over the mesh's ``data`` axis:
+    params replicated, batch sharded, gradient psum inserted by XLA;
+  * BatchNorm runs in train mode with cross-batch stats (reference
+    semantics); running stats are carried in the state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
+    RetrievalNet,
+)
+from image_retrieval_for_image_based_localization_tpu.ops.losses import (
+    contrastive_loss,
+    triplet_loss,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    loss: str = "contrastive"      # 'contrastive' | 'triplet'
+    margin: float = 0.7
+    lr: float = 1e-6               # reference default for fine-tuning
+    lr_decay: float = 0.99         # exponential per-epoch decay (reference: exp)
+    weight_decay: float = 1e-6
+    n_neg: int = 5
+    batch_tuples: int = 5          # tuples per step
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def create_train_state(
+    model: RetrievalNet,
+    rng: jax.Array,
+    input_shape: Tuple[int, int, int] = (224, 224, 3),
+    cfg: TrainConfig = TrainConfig(),
+    variables: Optional[Dict] = None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    if variables is None:
+        variables = model.init(rng, jnp.zeros((1, *input_shape), jnp.float32))
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(
+            lambda step: -cfg.lr * (cfg.lr_decay ** (step.astype(jnp.float32)))
+        ),
+    )
+    params = variables["params"]
+    return (
+        TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=0,
+        ),
+        tx,
+    )
+
+
+def _loss_fn(model, cfg: TrainConfig, params, batch_stats, pixels, labels):
+    """pixels: [B, T, H, W, C]; labels: [B, T] (+1 pos / -1 neg / 0 query)."""
+    B, T, H, W, C = pixels.shape
+    flat = pixels.reshape(B * T, H, W, C)
+    variables = {"params": params}
+    mutable = []
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"]
+    out = model.apply(variables, flat, train=True, mutable=mutable)
+    if mutable:
+        desc, updates = out
+        new_stats = updates["batch_stats"]
+    else:
+        desc, new_stats = out, batch_stats
+    desc = desc.reshape(B, T, -1)
+    if cfg.loss == "contrastive":
+        loss = contrastive_loss(desc, labels, margin=cfg.margin)
+    elif cfg.loss == "triplet":
+        loss = triplet_loss(desc, margin=cfg.margin)
+    else:
+        raise ValueError(cfg.loss)
+    return loss, new_stats
+
+
+def make_train_step(
+    model: RetrievalNet,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig = TrainConfig(),
+    mesh: Optional[jax.sharding.Mesh] = None,
+):
+    """Build the jitted train step. With a mesh, batch is sharded over 'data'."""
+
+    def step_fn(state: TrainState, pixels, labels):
+        (loss, new_stats), grads = jax.value_and_grad(
+            functools.partial(_loss_fn, model, cfg), has_aux=True
+        )(state.params, state.batch_stats, pixels, labels)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step_fn,
+            in_shardings=(None, data, data),
+            out_shardings=(None, rep),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model: RetrievalNet):
+    """Descriptor forward in eval mode (frozen BN) for validation loss."""
+
+    @jax.jit
+    def eval_fn(params, batch_stats, pixels):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        B, T, H, W, C = pixels.shape
+        desc = model.apply(variables, pixels.reshape(B * T, H, W, C))
+        return desc.reshape(B, T, -1)
+
+    return eval_fn
+
+
+def tuples_to_batch(images: np.ndarray, n_neg: int) -> Tuple[np.ndarray, np.ndarray]:
+    """images: [B, 2+n_neg, H, W, C] (q, p, negs) -> (pixels, labels)."""
+    B, T = images.shape[:2]
+    assert T == 2 + n_neg
+    labels = np.zeros((B, T), np.int32)
+    labels[:, 1] = 1
+    labels[:, 2:] = -1
+    return images, labels
+
+
+def train_epoch(
+    state: TrainState,
+    train_step,
+    batches,
+) -> Tuple[TrainState, float]:
+    """Run one epoch over an iterable of (pixels, labels) host batches."""
+    losses = []
+    for pixels, labels in batches:
+        state, loss = train_step(state, jnp.asarray(pixels), jnp.asarray(labels))
+        losses.append(float(loss))
+    return state, float(np.mean(losses)) if losses else 0.0

@@ -1,0 +1,130 @@
+"""Training subsystem: mining semantics, train step, loss descent."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from irtpu.models import RetrievalNet
+from irtpu.training import (
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+    mine_hard_negatives,
+    train_epoch,
+)
+
+
+class TestMining:
+    def test_hardest_negatives_excluded_clusters(self):
+        # pool: 3 clusters of 3; query in cluster 0 -> negatives never from 0
+        rng = np.random.RandomState(0)
+        centers = np.eye(3, 8, dtype=np.float32)
+        vecs, clusters = [], []
+        for c in range(3):
+            for _ in range(3):
+                v = centers[c] + rng.randn(8) * 0.05
+                vecs.append(v / np.linalg.norm(v))
+                clusters.append(c)
+        vecs = np.asarray(vecs, np.float32)
+        clusters = np.asarray(clusters)
+        ts = mine_hard_negatives(vecs, [0], [1], clusters=clusters, n_neg=2)
+        assert ts.nidxs.shape == (1, 2)
+        assert all(clusters[n] != 0 for n in ts.nidxs[0])
+
+    def test_negatives_are_hardest(self):
+        # negatives must be the most similar non-cluster items
+        vecs = np.array(
+            [
+                [1, 0, 0, 0],    # query (cluster 0)
+                [0.99, 0.1, 0, 0],  # positive (cluster 0)
+                [0.9, 0.4, 0, 0],   # hard negative (cluster 1)
+                [0, 1, 0, 0],       # easy negative (cluster 2)
+                [0, 0, 1, 0],       # easier (cluster 3)
+            ],
+            np.float32,
+        )
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        clusters = np.array([0, 0, 1, 2, 3])
+        ts = mine_hard_negatives(vecs, [0], [1], clusters=clusters, n_neg=2)
+        assert list(ts.nidxs[0]) == [2, 3]
+
+    def test_one_negative_per_cluster(self):
+        vecs = np.array(
+            [[1, 0, 0], [0.9, 0.1, 0], [0.8, 0.2, 0], [0.7, 0.3, 0], [0, 1, 0]],
+            np.float32,
+        )
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        clusters = np.array([0, 0, 1, 1, 2])
+        ts = mine_hard_negatives(vecs, [0], [1], clusters=clusters, n_neg=2)
+        # both hard negatives (2,3) are cluster 1; only one may be picked
+        assert clusters[ts.nidxs[0][0]] != clusters[ts.nidxs[0][1]]
+
+
+class TestTrainStep:
+    def _setup(self, mesh=None):
+        model = RetrievalNet(arch="resnet18", pooling="gem")
+        cfg = TrainConfig(n_neg=1, lr=1e-3)
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+        )
+        return model, cfg, state, make_train_step(model, tx, cfg, mesh=mesh)
+
+    def test_loss_decreases(self):
+        model, cfg, state, step = self._setup()
+        rng = np.random.RandomState(0)
+        pixels = jnp.asarray(rng.rand(2, 3, 32, 32, 3).astype(np.float32))
+        labels = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, pixels, labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 8
+
+    def test_batch_stats_update(self):
+        model, cfg, state, step = self._setup()
+        rng = np.random.RandomState(1)
+        pixels = jnp.asarray(rng.rand(1, 3, 32, 32, 3).astype(np.float32))
+        labels = jnp.asarray(np.array([[0, 1, -1]], np.int32))
+        before = np.asarray(
+            jax.tree.leaves(state.batch_stats)[0]
+        ).copy()
+        state, _ = step(state, pixels, labels)
+        after = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+        assert not np.array_equal(before, after)
+
+    def test_data_parallel_matches_single_device(self):
+        from irtpu.parallel import create_mesh
+
+        mesh = create_mesh([8, 1])
+        rng = np.random.RandomState(2)
+        pixels = jnp.asarray(rng.rand(8, 3, 32, 32, 3).astype(np.float32))
+        labels = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (8, 1)))
+
+        _, _, state1, step1 = self._setup()
+        _, _, state8, step8 = self._setup(mesh=mesh)
+        s1, l1 = step1(state1, pixels, labels)
+        s8, l8 = step8(state8, pixels, labels)
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+        p1 = jax.tree.leaves(s1.params)[0]
+        p8 = jax.tree.leaves(s8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4, atol=1e-6)
+
+
+def test_train_epoch_runs():
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    cfg = TrainConfig(n_neg=1, lr=1e-4)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+    )
+    step = make_train_step(model, tx, cfg)
+    rng = np.random.RandomState(3)
+    batches = [
+        (
+            rng.rand(2, 3, 32, 32, 3).astype(np.float32),
+            np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)),
+        )
+        for _ in range(2)
+    ]
+    state, mean_loss = train_epoch(state, step, batches)
+    assert np.isfinite(mean_loss)

@@ -36,6 +36,33 @@ from image_retrieval_for_image_based_localization_tpu.utils.config import (
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def _prefetched(iterator, depth: int = 2):
+    """Run an iterator in a background thread, ``depth`` items ahead."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(SENTINEL)
+        except BaseException as e:  # surface decode errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class Extractor:
     """Compiled descriptor extraction engine.
 
@@ -55,6 +82,14 @@ class Extractor:
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
         mc = cfg.model
+        if mesh is not None and "data" in mesh.shape:
+            # DP sharding needs the (padded) batch divisible by the data axis
+            import dataclasses as _dc
+
+            ddim = mesh.shape["data"]
+            bs = -(-cfg.batch_size // ddim) * ddim
+            if bs != cfg.batch_size:
+                cfg = _dc.replace(cfg, batch_size=bs)
         self.cfg = cfg
         self.model = RetrievalNet(
             arch=mc.arch,
@@ -157,23 +192,96 @@ class Extractor:
         images: Sequence,
         bbxs: Optional[Sequence] = None,
         progress: bool = False,
+        prefetch: int = 2,
     ) -> np.ndarray:
-        """Extract descriptors for a list of image paths or HWC arrays."""
+        """Extract descriptors for a list of image paths or HWC arrays.
+
+        Host preprocessing (decode/resize/pad) runs in a background thread
+        ``prefetch`` batches ahead so the device never waits on PIL
+        (BASELINE.json:5: "preprocessing overlapped with device compute").
+        """
         cfg = self.cfg
         out = np.zeros((len(images), self.out_dim), dtype=np.float32)
-        for batch in make_batches(
-            images,
-            image_size=cfg.image_size,
-            batch_size=cfg.batch_size,
-            bucket_multiple=cfg.bucket_multiple,
-            bbxs=bbxs,
-            squarify=cfg.squarify,
-        ):
-            descs = self(batch.pixels, batch.mask)
-            out[batch.indices] = descs[: len(batch.indices)]
-            if progress:
-                print(f"extracted {batch.indices[-1] + 1}/{len(images)}", flush=True)
+        use_native = (
+            cfg.native_preproc is not False
+            and not cfg.squarify
+            and len(images) > 0
+            and all(isinstance(im, str) for im in images)
+        )
+        if use_native:
+            from image_retrieval_for_image_based_localization_tpu.data.native import (
+                native_available,
+            )
+
+            use_native = native_available() or cfg.native_preproc is True
+        if use_native:
+            from image_retrieval_for_image_based_localization_tpu.data.images import (
+                make_batches_native,
+            )
+
+            batches = make_batches_native(
+                images,
+                image_size=cfg.image_size,
+                batch_size=cfg.batch_size,
+                bucket_multiple=cfg.bucket_multiple,
+                bbxs=bbxs,
+            )
+        else:
+            batches = make_batches(
+                images,
+                image_size=cfg.image_size,
+                batch_size=cfg.batch_size,
+                bucket_multiple=cfg.bucket_multiple,
+                bbxs=bbxs,
+                squarify=cfg.squarify,
+            )
+        pending = []  # (device descs future, host indices) — drain lazily
+        for batch in _prefetched(batches, prefetch):
+            pixels = jnp.asarray(batch.pixels)
+            mask_j = jnp.asarray(batch.mask)
+            descs = self._forward(self.variables, pixels, mask_j)
+            pending.append((descs, batch.indices))
+            # drain all-but-last so dispatch stays ahead of the host
+            while len(pending) > prefetch:
+                d, ix = pending.pop(0)
+                out[ix] = np.asarray(d)[: len(ix)]
+                if progress:
+                    print(f"extracted {ix[-1] + 1}/{len(images)}", flush=True)
+        for d, ix in pending:
+            out[ix] = np.asarray(d)[: len(ix)]
         return out
+
+    def extract_resumable(
+        self,
+        images: Sequence,
+        cache_dir: str,
+        bbxs: Optional[Sequence] = None,
+        shard_size: int = 1024,
+    ) -> np.ndarray:
+        """Extraction with per-shard on-disk checkpoints (SURVEY.md §5
+        failure recovery): a preempted index build resumes from the last
+        completed shard instead of restarting.
+        """
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        n = len(images)
+        parts = []
+        for s in range(0, n, shard_size):
+            shard_path = os.path.join(cache_dir, f"descs_{s:08d}.npy")
+            if os.path.exists(shard_path):
+                parts.append(np.load(shard_path))
+                continue
+            sel = slice(s, min(s + shard_size, n))
+            d = self.extract(
+                images[sel], bbxs=None if bbxs is None else bbxs[sel]
+            )
+            tmp = shard_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, d)
+            os.replace(tmp, shard_path)  # atomic: no torn shards on preempt
+            parts.append(d)
+        return np.concatenate(parts, axis=0)
 
 
 def extract_features(
@@ -185,6 +293,29 @@ def extract_features(
 ) -> np.ndarray:
     """Extract [N, D] descriptors for images (paths or HWC arrays)."""
     return Extractor(cfg, variables=variables, mesh=mesh).extract(images, bbxs=bbxs)
+
+
+def extract_vectors(
+    net_or_variables,
+    images: Sequence,
+    image_size: int = 1024,
+    ms: Sequence[float] = (1.0,),
+    bbxs: Optional[Sequence] = None,
+    cfg: Optional[ExtractConfig] = None,
+) -> np.ndarray:
+    """Reference-style alias (`extract_vectors(net, images, image_size, ms=...)`,
+    SURVEY.md §3.1). Accepts an Extractor, or flax variables + cfg. Returns
+    [N, D] (the reference returns D x N — transpose if porting eval code).
+    """
+    if isinstance(net_or_variables, Extractor):
+        ex = net_or_variables
+    else:
+        base = cfg or ExtractConfig()
+        import dataclasses as _dc
+
+        base = _dc.replace(base, image_size=image_size, scales=tuple(ms))
+        ex = Extractor(base, variables=net_or_variables)
+    return ex.extract(images, bbxs=bbxs)
 
 
 def build_index(

@@ -182,11 +182,27 @@ def cmd_synth(argv):
     print(f"created {ds.name}: {ds.n} db images, {ds.nq} queries at {ds.images_dir}")
 
 
+def cmd_config(argv):
+    p = argparse.ArgumentParser(prog="config")
+    p.add_argument("n", type=int, choices=[1, 2, 3, 4, 5],
+                   help="graded benchmark config (BASELINE.json)")
+    p.add_argument("--data-root", default="/tmp/irtpu_data")
+    p.add_argument("--synth-root", default="/tmp/irtpu_synth")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.benchmarks import (
+        run_graded_config,
+    )
+
+    run_graded_config(args.n, data_root=args.data_root, synth_root=args.synth_root)
+
+
 COMMANDS = {
     "extract": cmd_extract,
     "evaluate": cmd_evaluate,
     "train": cmd_train,
     "synth": cmd_synth,
+    "config": cmd_config,
 }
 
 

@@ -81,6 +81,85 @@ class ImageBatch:
 ImageSource = Union[str, np.ndarray]
 
 
+def probe_size(path: str) -> Tuple[int, int]:
+    """(h, w) from the image header without decoding pixels."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    return h, w
+
+
+def make_batches_native(
+    paths: Sequence[str],
+    image_size: int,
+    batch_size: int,
+    bucket_multiple: int = 32,
+    bbxs: Optional[Sequence] = None,
+    squarify: bool = False,
+    nthreads: int = 0,
+) -> Iterable[ImageBatch]:
+    """Path-input batching with the native C++ decode/resize/normalize.
+
+    Bucketing decisions come from header-only size probes (cheap); pixel
+    work (decode + bilinear resize + normalize into the padded NHWC slot)
+    happens in one multi-threaded native call per batch. Semantics match
+    ``make_batches`` (same buckets, same masks); interpolation is bilinear
+    half-pixel like the PIL path. Falls back implicitly at the caller level
+    when the shared library isn't available.
+    """
+    from image_retrieval_for_image_based_localization_tpu.data.native import (
+        preprocess_batch_native,
+    )
+
+    def target_hw(i: int) -> Tuple[int, int]:
+        h, w = probe_size(paths[i])
+        if bbxs is not None and bbxs[i] is not None:
+            x0, y0, x1, y1 = bbxs[i]
+            h = max(1, int(round(y1)) - int(round(y0)))
+            w = max(1, int(round(x1)) - int(round(x0)))
+        m = max(h, w)
+        if m != image_size:
+            s = image_size / m
+            h, w = max(1, round(h * s)), max(1, round(w * s))
+        return h, w
+
+    buckets: dict = {}
+    for i in range(len(paths)):
+        h, w = target_hw(i)
+        shape = (
+            (image_size, image_size)
+            if squarify
+            else bucket_shape(h, w, bucket_multiple)
+        )
+        buckets.setdefault(shape, []).append(i)
+
+    for (H, W), members in sorted(buckets.items()):
+        for s in range(0, len(members), batch_size):
+            chunk = members[s : s + batch_size]
+            chunk_paths = [paths[i] for i in chunk]
+            chunk_bbxs = None if bbxs is None else [bbxs[i] for i in chunk]
+            size = image_size if not squarify else max(H, W)
+            pixels_v, sizes = preprocess_batch_native(
+                chunk_paths, size, H, W, bbxs=chunk_bbxs, nthreads=nthreads
+            )
+            B = batch_size
+            pixels = np.zeros((B, H, W, 3), np.float32)
+            pixels[: len(chunk)] = pixels_v
+            mask = np.zeros((B, H, W), bool)
+            for row in range(len(chunk)):
+                h, w = sizes[row]
+                if h == 0 or w == 0:
+                    raise IOError(f"failed to decode {chunk_paths[row]}")
+                mask[row, :h, :w] = True
+            yield ImageBatch(
+                pixels=pixels,
+                mask=mask,
+                indices=np.asarray(chunk, dtype=np.int64),
+                valid=len(chunk),
+            )
+
+
 def _prepare_one(
     img: ImageSource,
     image_size: int,

@@ -1,0 +1,108 @@
+"""Model zoo and checkpoint-meta factory.
+
+The reference rebuilds its net from the checkpoint ``meta`` dict
+(``init_network(meta)``, SURVEY.md §3.1) and ships a pretrained-model zoo as
+regression anchors (SURVEY.md §4). Offline equivalent: named presets that
+pair a ModelConfig with an optional local checkpoint path (torch ``.pth``
+state_dicts port through ``models.torch_port``; orbax dirs load directly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
+    RetrievalNet,
+)
+from image_retrieval_for_image_based_localization_tpu.utils.config import ModelConfig
+
+# Named presets mirroring the cirtorch-lineage zoo the reference derives from.
+MODEL_ZOO: Dict[str, ModelConfig] = {
+    "resnet18-gem": ModelConfig(arch="resnet18", pooling="gem"),
+    "resnet50-gem": ModelConfig(arch="resnet50", pooling="gem"),
+    "resnet101-gem": ModelConfig(arch="resnet101", pooling="gem"),
+    "resnet101-gem-whiten": ModelConfig(arch="resnet101", pooling="gem", whiten_dim=2048),
+    "vgg16-gem": ModelConfig(arch="vgg16", pooling="gem"),
+    "vgg16-mac": ModelConfig(arch="vgg16", pooling="mac"),
+    "vgg16-rmac": ModelConfig(arch="vgg16", pooling="rmac"),
+    "vgg16-netvlad64": ModelConfig(arch="vgg16", pooling="netvlad", netvlad_clusters=64),
+}
+
+
+def model_to_meta(model: RetrievalNet) -> Dict[str, Any]:
+    """Serializable hyperparameter dict (the checkpoint 'meta' contract)."""
+    return {
+        "arch": model.arch,
+        "pooling": model.pooling,
+        "whiten_dim": model.whiten_dim,
+        "netvlad_clusters": model.netvlad_clusters,
+        "gem_p": model.gem_p,
+    }
+
+
+def create_model_from_meta(meta: Dict[str, Any], **overrides) -> RetrievalNet:
+    """Rebuild a RetrievalNet from a checkpoint meta dict."""
+    kw = dict(
+        arch=meta.get("arch", "resnet50"),
+        pooling=meta.get("pooling", "gem"),
+        whiten_dim=meta.get("whiten_dim"),
+        netvlad_clusters=meta.get("netvlad_clusters", 64),
+        gem_p=meta.get("gem_p", 3.0),
+    )
+    kw.update(overrides)
+    return RetrievalNet(**kw)
+
+
+def create_model_from_zoo(name: str, **overrides) -> RetrievalNet:
+    if name not in MODEL_ZOO:
+        raise KeyError(f"unknown zoo model {name!r}; have {sorted(MODEL_ZOO)}")
+    mc = MODEL_ZOO[name]
+    kw = dict(
+        arch=mc.arch,
+        pooling=mc.pooling,
+        whiten_dim=mc.whiten_dim,
+        netvlad_clusters=mc.netvlad_clusters,
+        gem_p=mc.gem_p,
+    )
+    kw.update(overrides)
+    return RetrievalNet(**kw)
+
+
+def load_model(
+    name_or_meta,
+    checkpoint: Optional[str] = None,
+    arch_hint: Optional[str] = None,
+):
+    """(model, variables|None) from a zoo name or meta dict (+ checkpoint).
+
+    ``checkpoint`` may be a torch ``.pth``/``.pt`` state_dict file or an
+    orbax checkpoint directory saved by ``utils.checkpoint``.
+    """
+    if isinstance(name_or_meta, str):
+        model = create_model_from_zoo(name_or_meta)
+    else:
+        model = create_model_from_meta(name_or_meta)
+
+    variables = None
+    if checkpoint:
+        if checkpoint.endswith((".pth", ".pt")):
+            import torch
+
+            from image_retrieval_for_image_based_localization_tpu.models.torch_port import (
+                port_retrieval_net,
+            )
+
+            sd = torch.load(checkpoint, map_location="cpu", weights_only=False)
+            sd = sd.get("state_dict", sd)
+            variables = port_retrieval_net(sd, arch_hint or model.arch)
+        else:
+            from image_retrieval_for_image_based_localization_tpu.utils.checkpoint import (
+                load_checkpoint,
+            )
+
+            tree, meta = load_checkpoint(checkpoint, name="best")
+            variables = {
+                "params": tree["params"],
+                "batch_stats": tree.get("batch_stats", {}),
+            }
+    return model, variables

@@ -38,13 +38,21 @@ def pca_whiten_learn(X: np.ndarray, shrinkage: float = 0.0) -> Tuple[np.ndarray,
     noise amplification), so shrinkage auto-engages at 0.1 — verified to be
     the difference between mAP 0.31 and 1.00 on a small synthetic gallery.
     """
-    X = np.asarray(X, dtype=np.float64)
+    X = np.asarray(X)
     N, D = X.shape
     if shrinkage == 0.0 and N < D:
         shrinkage = 0.1
-    m = X.mean(axis=0)
-    Xc = X - m
-    C = (Xc.T @ Xc) / N
+    # streaming float64 accumulation: never materializes a float64 copy of X
+    # (a 1M x 2048 gallery would be 16 GB) — SURVEY.md §5 long-gallery axis
+    chunk = max(1, min(N, (1 << 27) // max(D, 1)))
+    s = np.zeros(D, np.float64)
+    C = np.zeros((D, D), np.float64)
+    for i in range(0, N, chunk):
+        xb = X[i : i + chunk].astype(np.float64)
+        s += xb.sum(axis=0)
+        C += xb.T @ xb
+    m = s / N
+    C = C / N - np.outer(m, m)
     C = (C + C.T) / 2.0
     if shrinkage > 0.0:
         C = (1.0 - shrinkage) * C + shrinkage * (np.trace(C) / D) * np.eye(D)

@@ -42,7 +42,7 @@ def sharded_knn(
     k: int,
     mesh: Mesh,
     n_valid: int,
-    chunk: int = 16384,
+    chunk: int | None = None,
     axis: str = "gallery",
 ) -> Tuple[jax.Array, jax.Array]:
     """Distributed exact top-k over a row-sharded gallery.
@@ -134,7 +134,7 @@ class ShardedIndex:
             return q
         return whiten_apply(q, jnp.asarray(self.m), jnp.asarray(self.P), self.dims)
 
-    def query(self, qdescriptors: np.ndarray, k: int = 10, chunk: int = 16384):
+    def query(self, qdescriptors: np.ndarray, k: int = 10, chunk: int | None = None):
         """Distributed exact top-k. Returns host ``(scores, indices)``."""
         q = self.transform_queries(qdescriptors)
         rep = NamedSharding(self.mesh, P())

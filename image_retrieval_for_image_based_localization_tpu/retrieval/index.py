@@ -56,8 +56,18 @@ class Index:
         """
         descriptors = np.asarray(descriptors, dtype=np.float32)
         m = P = None
+        learn_set = descriptors
+        if (
+            cfg.whitening is not None
+            and cfg.whiten_sample
+            and descriptors.shape[0] > cfg.whiten_sample
+        ):
+            sel = np.random.RandomState(0).choice(
+                descriptors.shape[0], cfg.whiten_sample, replace=False
+            )
+            learn_set = descriptors[np.sort(sel)]
         if cfg.whitening == "pca":
-            m, P = pca_whiten_learn(descriptors, shrinkage=cfg.shrinkage)
+            m, P = pca_whiten_learn(learn_set, shrinkage=cfg.shrinkage)
         elif cfg.whitening == "lw":
             if pairs is None:
                 raise ValueError("Lw whitening requires pairs=(qidxs, pidxs)")
@@ -67,9 +77,23 @@ class Index:
 
         gallery = descriptors
         if P is not None:
-            gallery = np.asarray(
-                whiten_apply(jnp.asarray(descriptors), jnp.asarray(m), jnp.asarray(P), cfg.whiten_dims),
-                dtype=np.float32,
+            # apply whitening on device in row blocks (1M x 2048 galleries
+            # must not round-trip as one array)
+            import jax
+
+            mj = jnp.asarray(m, jnp.float32)
+            Pj = jnp.asarray(P, jnp.float32)
+            apply_fn = jax.jit(
+                lambda x: whiten_apply(x, mj, Pj, cfg.whiten_dims)
+            )
+            blocks = []
+            step = 65536
+            for i in range(0, descriptors.shape[0], step):
+                blocks.append(
+                    np.asarray(apply_fn(jnp.asarray(descriptors[i : i + step])))
+                )
+            gallery = (
+                np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
             )
         return cls(
             gallery=gallery,

@@ -37,6 +37,9 @@ class ExtractConfig:
     msp: Optional[float] = None
     bucket_multiple: int = 32       # pad H/W up to multiples of this (stride)
     squarify: bool = False          # True: resize to square (fast path)
+    # None = auto (use the C++ decode/resize library when built and inputs
+    # are paths); True forces it; False forces the PIL path
+    native_preproc: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +47,10 @@ class IndexConfig:
     whitening: Optional[str] = "pca"  # 'pca' | 'lw' | None
     whiten_dims: Optional[int] = None  # truncate to this many dims
     shrinkage: float = 0.0
+    # learn whitening on at most this many (deterministically sampled) rows;
+    # applied to all. Host-side eig over >>100k rows adds nothing
+    # statistically and this host has 1 CPU core.
+    whiten_sample: Optional[int] = 200_000
 
 
 @dataclasses.dataclass(frozen=True)

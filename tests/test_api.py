@@ -120,3 +120,25 @@ def test_map_on_synthetic_clusters():
     gnd = [{"ok": np.array(gnd_ok[i]), "junk": np.array([])} for i in range(3)]
     m, _, _, _ = compute_map(ranks, gnd)
     assert m > 0.95, m
+
+
+def test_extractor_data_parallel_mesh():
+    """DP extraction over the mesh 'data' axis matches single-device."""
+    from irtpu.parallel import create_mesh
+
+    mesh = create_mesh([8, 1])
+    ex1 = Extractor(CFG)
+    ex8 = Extractor(CFG, variables=ex1.variables, mesh=mesh)
+    imgs = synth_images(8, seed=11, size=64)
+    d1 = ex1.extract(imgs)
+    d8 = ex8.extract(imgs)
+    np.testing.assert_allclose(d1, d8, rtol=1e-4, atol=1e-5)
+
+
+def test_extract_vectors_alias():
+    from irtpu.api import extract_vectors
+
+    ex = Extractor(CFG)
+    imgs = synth_images(2, seed=12)
+    d1 = extract_vectors(ex, imgs)
+    assert d1.shape == (2, 512)

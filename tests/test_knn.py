@@ -59,3 +59,44 @@ def test_full_ranks_matches_numpy():
     ranks = full_ranks(g, q, batch=2)
     want = np.argsort(-(q @ g.T), axis=1, kind="stable").T
     np.testing.assert_array_equal(ranks, want)
+
+
+def test_blockmax_topk_exact_vs_numpy():
+    from irtpu.retrieval.knn import blockmax_topk
+    import jax
+
+    rng = np.random.RandomState(7)
+    s = rng.randn(9, 5000).astype(np.float32)
+    got_s, got_i = jax.jit(lambda x: blockmax_topk(x, 37))(jnp.asarray(s))
+    want_i = np.argsort(-s, axis=1, kind="stable")[:, :37]
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+def test_blockmax_topk_adversarial_ties():
+    from irtpu.retrieval.knn import blockmax_topk
+
+    # many duplicated values spanning block boundaries
+    rng = np.random.RandomState(8)
+    base = rng.randint(0, 5, size=(4, 2000)).astype(np.float32)  # heavy ties
+    got_s, got_i = blockmax_topk(jnp.asarray(base), 50)
+    want_i = np.argsort(-base, axis=1, kind="stable")[:, :50]
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+def test_blockmax_topk_k_exceeds_blocks():
+    from irtpu.retrieval.knn import blockmax_topk
+
+    rng = np.random.RandomState(9)
+    s = rng.randn(2, 600).astype(np.float32)  # 5 blocks of 128, k=200 > nb
+    got_s, got_i = blockmax_topk(jnp.asarray(s), 200)
+    want_i = np.argsort(-s, axis=1, kind="stable")[:, :200]
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+def test_knn_search_ties_heavy_duplicates():
+    rng = np.random.RandomState(10)
+    g = np.repeat(rng.randn(40, 8).astype(np.float32), 25, axis=0)  # 1000 rows, 25x dup
+    q = rng.randn(6, 8).astype(np.float32)
+    s, i = knn_search(jnp.asarray(g), jnp.asarray(q), k=60, chunk=256)
+    ws, wi = _np_topk(g, q, 60)
+    np.testing.assert_array_equal(np.asarray(i), wi)

@@ -1,0 +1,83 @@
+"""Native C++ preprocessing vs the PIL oracle pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from irtpu.data.native import native_available, preprocess_batch_native
+from irtpu.data import make_batches
+from irtpu.data.images import make_batches_native
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native preproc library not built"
+)
+
+
+@pytest.fixture(scope="module")
+def jpgs(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (h, w) in enumerate([(120, 160), (160, 120), (90, 90), (200, 150)]):
+        # low-frequency content so JPEG loss doesn't dominate the comparison
+        base = rng.rand(h // 10, w // 10, 3)
+        img = np.kron(base, np.ones((10, 10, 1)))[:h, :w]
+        p = str(root / f"im{i}.jpg")
+        Image.fromarray((img * 255).astype(np.uint8)).save(p, quality=98)
+        paths.append(p)
+    return paths
+
+
+def test_decode_matches_pil_pipeline(jpgs):
+    b_pil = list(make_batches(jpgs, image_size=96, batch_size=4))
+    b_nat = list(make_batches_native(jpgs, image_size=96, batch_size=4))
+    assert len(b_pil) == len(b_nat)
+    for bp, bn in zip(b_pil, b_nat):
+        assert bp.pixels.shape == bn.pixels.shape
+        np.testing.assert_array_equal(bp.indices, bn.indices)
+        np.testing.assert_array_equal(bp.mask, bn.mask)
+        # interpolation differs (PIL box filter vs bilinear): compare loosely
+        diff = np.abs(bp.pixels - bn.pixels)[bp.mask.nonzero()]
+        assert np.median(diff) < 0.1, np.median(diff)
+
+
+def test_bbx_crop(jpgs):
+    bbxs = [(10, 10, 80, 70), None, None, None]
+    b = list(make_batches_native(jpgs, image_size=64, batch_size=4, bbxs=bbxs))
+    found = False
+    for batch in b:
+        for row, gi in enumerate(batch.indices):
+            if gi == 0:
+                h = batch.mask[row].any(axis=1).sum()
+                w = batch.mask[row].any(axis=0).sum()
+                # crop 70x60 -> max side 64 -> (55, 64)
+                assert w == 64 and 52 <= h <= 58, (h, w)
+                found = True
+    assert found
+
+
+def test_failed_decode_raises(tmp_path):
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8not a real jpeg")
+    with pytest.raises(IOError):
+        list(make_batches_native([bad], image_size=64, batch_size=1))
+
+
+def test_extractor_native_vs_pil_descriptors(jpgs):
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    cfg_n = ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=96,
+                          batch_size=2, native_preproc=True)
+    cfg_p = ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=96,
+                          batch_size=2, native_preproc=False)
+    ex_n = Extractor(cfg_n)
+    ex_p = Extractor(cfg_p, variables=ex_n.variables)
+    dn = ex_n.extract(jpgs)
+    dp = ex_p.extract(jpgs)
+    cos = np.sum(dn * dp, axis=1)
+    assert (cos > 0.99).all(), cos

@@ -132,9 +132,13 @@ class Extractor:
         def single_scale(variables, pixels, mask, scale: float):
             if scale != 1.0:
                 B, H, W, C = pixels.shape
-                nh = max(int(round(H * scale)), 32)
-                nw = max(int(round(W * scale)), 32)
-                pixels = jax.image.resize(pixels, (B, nh, nw, C), "bilinear")
+                # reference semantics: F.interpolate(scale_factor=s) ->
+                # floor(size*s), bilinear half-pixel, NO antialiasing
+                nh = max(int(H * scale), 32)
+                nw = max(int(W * scale), 32)
+                pixels = jax.image.resize(
+                    pixels, (B, nh, nw, C), "bilinear", antialias=False
+                )
                 mask = (
                     jax.image.resize(mask.astype(jnp.float32), (B, nh, nw), "nearest")
                     >= 0.5

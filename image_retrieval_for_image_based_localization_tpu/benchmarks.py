@@ -1,0 +1,157 @@
+"""Runners for the five graded benchmark configs (BASELINE.json:6-12).
+
+Each config maps to an offline-runnable stand-in when its real dataset isn't
+on disk (zero-egress environment, SURVEY.md §0): the synthetic corpus for
+images, random-but-normalized distractor descriptors for gallery scale. The
+machinery exercised (models, scales, whitening, kernels, sharding, streaming)
+is exactly the graded configuration's; only pixel content is synthetic.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from image_retrieval_for_image_based_localization_tpu.api import Extractor
+from image_retrieval_for_image_based_localization_tpu.data.test_datasets import (
+    configdataset,
+    make_synthetic_dataset,
+)
+from image_retrieval_for_image_based_localization_tpu.evaluation.harness import (
+    evaluate_dataset,
+)
+from image_retrieval_for_image_based_localization_tpu.utils.config import (
+    GRADED_CONFIGS,
+    IndexConfig,
+)
+from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
+    MetricsLogger,
+)
+from image_retrieval_for_image_based_localization_tpu.ops.normalization import l2n
+
+
+def _dataset(cfg, data_root: str, synth_root: str):
+    try:
+        return configdataset(cfg.dataset, data_root)
+    except FileNotFoundError:
+        name = f"synth-{cfg.dataset.replace('+', '-')}"
+        return make_synthetic_dataset(
+            synth_root, name=name, n_scenes=6, views_per_scene=4,
+            n_distractors=8, image_hw=(120, 160), seed=13,
+        )
+
+
+def run_graded_config(
+    n: int,
+    data_root: str = "/tmp/irtpu_data",
+    synth_root: str = "/tmp/irtpu_synth",
+    logger: Optional[MetricsLogger] = None,
+) -> Dict:
+    """Run graded config ``n`` (1-5); returns a results dict."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = GRADED_CONFIGS[n]
+    logger = logger or MetricsLogger(echo=True)
+    logger.log(config=n, name=cfg.name, note=cfg.note)
+
+    if n in (1, 2, 3):
+        ds = _dataset(cfg, data_root, synth_root)
+        out = evaluate_dataset(ds, cfg.extract, cfg.index, logger=logger)
+        return {"config": cfg.name, "map": out["results"]}
+
+    # configs 4-5: gallery scale. Extract a real (synthetic-image) core; pad
+    # with distractor descriptors GENERATED ON DEVICE (host->device transfer
+    # of a multi-GB gallery through this rig's tunnel takes tens of minutes
+    # and is not part of the measured system), whiten on device, query.
+    ds = _dataset(cfg, data_root, synth_root)
+    ex = Extractor(cfg.extract)
+    core = ex.extract(ds.image_paths)
+    qd = ex.extract(ds.query_paths, bbxs=ds.query_bbxs)
+
+    n_total = 100_000 if n == 4 else 1_000_000
+    n_core, D = core.shape
+    store_dtype = jnp.float32 if n == 4 else jnp.bfloat16
+
+    @jax.jit
+    def make_distractors(key):
+        d = jax.random.normal(key, (n_total - n_core, D), jnp.float32)
+        return l2n(d)
+
+    distract = make_distractors(jax.random.PRNGKey(0))
+
+    # learn whitening on the core + a device-sampled slice of distractors
+    sample = np.asarray(distract[:50_000])
+    m, P = None, None
+    if cfg.index.whitening == "pca":
+        from image_retrieval_for_image_based_localization_tpu.ops.whitening import (
+            pca_whiten_learn,
+            whiten_apply,
+        )
+
+        m, P = pca_whiten_learn(np.concatenate([core, sample], axis=0))
+        mj, Pj = jnp.asarray(m, jnp.float32), jnp.asarray(P, jnp.float32)
+        apply_fn = jax.jit(lambda x: whiten_apply(x, mj, Pj, cfg.index.whiten_dims))
+        gallery = jnp.concatenate(
+            [apply_fn(jnp.asarray(core)).astype(store_dtype)]
+            + [
+                apply_fn(distract[i : i + 131072]).astype(store_dtype)
+                for i in range(0, distract.shape[0], 131072)
+            ],
+            axis=0,
+        )
+        q = apply_fn(jnp.asarray(qd)).astype(store_dtype)
+    else:
+        gallery = jnp.concatenate(
+            [jnp.asarray(core, store_dtype), distract.astype(store_dtype)], axis=0
+        )
+        q = jnp.asarray(qd, store_dtype)
+
+    from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+        knn_search,
+    )
+
+    if n == 4:
+        from image_retrieval_for_image_based_localization_tpu.parallel.mesh import (
+            default_mesh,
+        )
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            sharded_knn,
+        )
+
+        mesh = default_mesh()
+        n_shards = mesh.shape["gallery"]
+        pad = (-gallery.shape[0]) % n_shards
+        if pad:
+            gallery = jnp.concatenate(
+                [gallery, jnp.zeros((pad, gallery.shape[1]), gallery.dtype)], 0
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        gallery = jax.device_put(gallery, NamedSharding(mesh, Pspec("gallery", None)))
+        np.asarray(
+            sharded_knn(gallery, q, k=100, mesh=mesh, n_valid=n_total)[0]
+        )  # compile
+        t0 = time.perf_counter()
+        scores, idx = sharded_knn(gallery, q, k=100, mesh=mesh, n_valid=n_total)
+        idx = np.asarray(idx)
+        dt = time.perf_counter() - t0
+        logger.log(config=n, gallery=n_total, queries=len(qd), seconds=dt,
+                   queries_per_sec=len(qd) / dt,
+                   mesh={k: int(v) for k, v in mesh.shape.items()})
+    else:
+        # config 5: 1M-descriptor streaming, bf16 gallery, batched queries
+        np.asarray(knn_search(gallery, q, k=100)[0])  # compile
+        t0 = time.perf_counter()
+        scores, idx = knn_search(gallery, q, k=100)
+        idx = np.asarray(idx)
+        dt = time.perf_counter() - t0
+        logger.log(config=n, gallery=n_total, queries=len(qd), seconds=dt,
+                   queries_per_sec=len(qd) / dt, storage="bfloat16")
+
+    # sanity: real (core) neighbors must beat random distractors
+    hit_core = float(np.mean(idx[:, 0] < core.shape[0]))
+    logger.log(config=n, top1_in_core_fraction=hit_core)
+    return {"config": cfg.name, "top1_in_core": hit_core}

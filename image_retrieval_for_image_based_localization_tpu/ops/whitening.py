@@ -42,6 +42,27 @@ def pca_whiten_learn(X: np.ndarray, shrinkage: float = 0.0) -> Tuple[np.ndarray,
     N, D = X.shape
     if shrinkage == 0.0 and N < D:
         shrinkage = 0.1
+
+    if N < D:
+        # Dual/SVD formulation: the covariance has rank <= N-1, and an eigh
+        # of the D x D matrix is O(D^3) — hours for NetVLAD's D=32768 on a
+        # 1-core host. The SVD of centered X gives the same nonzero
+        # eigenpairs in O(N^2 D); the returned P is [r, D] (r = rank), which
+        # is the only meaningful output dimensionality anyway. Shrinkage
+        # becomes an eigenvalue floor (same diagonal-blend semantics on the
+        # retained subspace).
+        X64 = X.astype(np.float64)
+        m = X64.mean(axis=0)
+        Xc = X64 - m
+        _, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+        eigval = (S ** 2) / N
+        if shrinkage > 0.0:
+            floor = shrinkage * eigval.sum() / D
+            eigval = (1.0 - shrinkage) * eigval + floor
+        eigval = np.maximum(eigval, max(eigval.max(), 0.0) * 1e-10 + 1e-300)
+        P = np.diag(1.0 / np.sqrt(eigval)) @ Vt
+        return m, P
+
     # streaming float64 accumulation: never materializes a float64 copy of X
     # (a 1M x 2048 gallery would be 16 GB) — SURVEY.md §5 long-gallery axis
     chunk = max(1, min(N, (1 << 27) // max(D, 1)))

@@ -66,8 +66,9 @@ def test_whitened_index_end_to_end():
     q = ex.extract(synth_images(2, seed=4))
     scores, idx = query(index, q, k=3)
     assert idx.shape == (2, 3)
-    # whitened gallery is L2-normalized [N, 64]
-    assert index.gallery.shape == (12, 64)
+    # whitened gallery is L2-normalized; with N=12 samples the PCA rank is
+    # 12, so the requested 64 dims clamp to 12 (dual-form whitening)
+    assert index.gallery.shape == (12, 12)
     np.testing.assert_allclose(np.linalg.norm(index.gallery, axis=1), 1.0, atol=1e-3)
 
 

@@ -134,6 +134,27 @@ class ShardedIndex:
             return q
         return whiten_apply(q, jnp.asarray(self.m), jnp.asarray(self.P), self.dims)
 
+    def save(self, path: str) -> None:
+        """Persist as a regular Index artifact (gathers shards to host)."""
+        from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+            Index,
+        )
+
+        Index(
+            gallery=np.asarray(self.gallery)[: self.n_valid],
+            m=self.m,
+            P=self.P,
+            dims=self.dims,
+        ).save(path)
+
+    @classmethod
+    def load(cls, path: str, mesh=None, axis: str = "gallery") -> "ShardedIndex":
+        from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+            Index,
+        )
+
+        return cls.from_index(Index.load(path), mesh=mesh, axis=axis)
+
     def query(self, qdescriptors: np.ndarray, k: int = 10, chunk: int | None = None):
         """Distributed exact top-k. Returns host ``(scores, indices)``."""
         q = self.transform_queries(qdescriptors)

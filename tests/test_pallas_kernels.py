@@ -71,3 +71,43 @@ def test_netvlad_fused_chunked_and_masked():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_scores_blockmax_matches_matmul():
+    from irtpu.ops.pallas.score_topk import scores_blockmax
+
+    rng = np.random.RandomState(5)
+    g = rng.randn(300, 256).astype(np.float32)  # pads to 1024
+    q = rng.randn(10, 256).astype(np.float32)
+    s, bmax = scores_blockmax(jnp.asarray(g), jnp.asarray(q), interpret=True)
+    want = q @ g.T
+    np.testing.assert_allclose(np.asarray(s)[:, :300], want, rtol=1e-5, atol=1e-5)
+    # padded cols masked
+    assert (np.asarray(s)[:, 300:] < -1e30).all()
+    # block maxima correct (default block width 64)
+    s_np = np.asarray(s)
+    np.testing.assert_allclose(
+        np.asarray(bmax), s_np.reshape(10, -1, 64).max(-1), rtol=1e-6
+    )
+
+
+def test_pallas_topk_search_exact():
+    from irtpu.ops.pallas.score_topk import pallas_topk_search
+
+    rng = np.random.RandomState(6)
+    g = rng.randn(2000, 64).astype(np.float32)
+    q = rng.randn(9, 64).astype(np.float32)
+    s, i = pallas_topk_search(jnp.asarray(g), jnp.asarray(q), k=37, interpret=True)
+    want = np.argsort(-(q @ g.T), axis=1, kind="stable")[:, :37]
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_pallas_topk_search_ties():
+    from irtpu.ops.pallas.score_topk import pallas_topk_search
+
+    rng = np.random.RandomState(7)
+    g = np.repeat(rng.randn(20, 32).astype(np.float32), 60, axis=0)  # heavy dups
+    q = rng.randn(3, 32).astype(np.float32)
+    s, i = pallas_topk_search(jnp.asarray(g), jnp.asarray(q), k=50, interpret=True)
+    want = np.argsort(-(q @ g.T), axis=1, kind="stable")[:, :50]
+    np.testing.assert_array_equal(np.asarray(i), want)

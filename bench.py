@@ -48,7 +48,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         batch, size, iters, warmup = 32, 1024, 6, 2
-        Ng, D, nq = 100_000, 2048, 64
+        Ng, D, nq = 100_000, 2048, 256
     else:  # CPU fallback keeps the script runnable anywhere
         batch, size, iters, warmup = 2, 128, 3, 1
         Ng, D, nq = 2_000, 256, 16

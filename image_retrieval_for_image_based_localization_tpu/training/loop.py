@@ -148,4 +148,22 @@ def run_training(args) -> dict:
         best_loss = min(best_loss, mean_loss)
         save_checkpoint(args.out_dir, state, meta=meta, name="latest", is_best=is_best)
 
+    # post-training supervised (Lw) whitening from the matching pairs —
+    # the reference's test-time "learn whitening" stage (SURVEY.md §3.1/3.4)
+    from image_retrieval_for_image_based_localization_tpu.ops.whitening import (
+        whiten_learn,
+    )
+
+    ext = Extractor(ex_cfg, variables={
+        "params": state.params, "batch_stats": state.batch_stats,
+    })
+    pool_vecs = ext.extract([images[i] for i in range(len(paths))])
+    m, P = whiten_learn(pool_vecs, qidxs, pidxs)
+    np.savez(
+        os.path.join(args.out_dir, "whitening.npz"),
+        m=m.astype(np.float32),
+        P=P.astype(np.float32),
+    )
+    logger.log(event="lw_whitening_saved", dims=int(P.shape[0]))
+
     return {"best_loss": best_loss, "epochs": args.epochs, "out_dir": args.out_dir}

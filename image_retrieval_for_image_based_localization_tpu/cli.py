@@ -182,6 +182,52 @@ def cmd_synth(argv):
     print(f"created {ds.name}: {ds.n} db images, {ds.nq} queries at {ds.images_dir}")
 
 
+def cmd_build_index(argv):
+    p = argparse.ArgumentParser(prog="build-index")
+    p.add_argument("--descriptors", required=True, help=".npy [N, D] file")
+    p.add_argument("--out", required=True, help="output index .npz")
+    p.add_argument("--whitening", default="pca", choices=["pca", "lw", "none"])
+    p.add_argument("--whiten-dims", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
+    from image_retrieval_for_image_based_localization_tpu.utils.config import IndexConfig
+
+    descs = np.load(args.descriptors)
+    wh = None if args.whitening == "none" else args.whitening
+    index = Index.build(descs, IndexConfig(whitening=wh, whiten_dims=args.whiten_dims))
+    index.save(args.out)
+    print(f"built index over {descs.shape} -> {args.out}")
+
+
+def cmd_query(argv):
+    p = argparse.ArgumentParser(prog="query")
+    p.add_argument("--index", required=True, help="index .npz from build-index")
+    p.add_argument("--queries", required=True, help=".npy [Nq, D] query descriptors")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--out", default=None, help="optional .npz for scores/indices")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
+
+    index = Index.load(args.index)
+    qd = np.load(args.queries)
+    if args.sharded:
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            ShardedIndex,
+        )
+
+        scores, idx = ShardedIndex.from_index(index).query(qd, k=args.k)
+    else:
+        scores, idx = index.query(qd, k=args.k)
+    if args.out:
+        np.savez(args.out, scores=scores, indices=idx)
+        print(f"wrote {args.out}")
+    for qi in range(min(len(idx), 10)):
+        print(f"q{qi}: " + " ".join(f"{i}:{s:.4f}" for s, i in zip(scores[qi], idx[qi])))
+
+
 def cmd_config(argv):
     p = argparse.ArgumentParser(prog="config")
     p.add_argument("n", type=int, choices=[1, 2, 3, 4, 5],
@@ -203,6 +249,8 @@ COMMANDS = {
     "train": cmd_train,
     "synth": cmd_synth,
     "config": cmd_config,
+    "build-index": cmd_build_index,
+    "query": cmd_query,
 }
 
 

@@ -42,6 +42,8 @@ OUTPUT_DIM = {
     "resnet101": 2048,
     "resnet152": 2048,
     "vgg16": 512,
+    "alexnet": 256,
+    "squeezenet1_1": 512,
 }
 
 
@@ -79,6 +81,18 @@ class RetrievalNet(nn.Module):
             return ResNetTrunk(self.arch, self.dtype, name="trunk")
         if self.arch.startswith("vgg"):
             return VGGTrunk(self.arch, self.dtype, name="trunk")
+        if self.arch.startswith("alexnet"):
+            from image_retrieval_for_image_based_localization_tpu.models.alexnet import (
+                AlexNetTrunk,
+            )
+
+            return AlexNetTrunk(self.arch, self.dtype, name="trunk")
+        if self.arch.startswith("squeezenet"):
+            from image_retrieval_for_image_based_localization_tpu.models.squeezenet import (
+                SqueezeNetTrunk,
+            )
+
+            return SqueezeNetTrunk(self.arch, self.dtype, name="trunk")
         raise ValueError(f"unknown arch {self.arch!r}")
 
     @nn.compact

@@ -97,6 +97,36 @@ def port_vgg_trunk(sd: Mapping[str, Any], prefix: str = "features.") -> Dict:
     return {"params": params, "batch_stats": {}}
 
 
+def port_alexnet_trunk(sd: Mapping[str, Any], prefix: str = "features.") -> Dict:
+    """torchvision AlexNet ``features.*`` state_dict → trunk vars."""
+    # conv layers sit at Sequential indices 0, 3, 6, 8, 10
+    params: Dict[str, Any] = {}
+    for conv_i, t_idx in enumerate((0, 3, 6, 8, 10)):
+        params[f"conv{conv_i}"] = {
+            "kernel": _conv(sd[f"{prefix}{t_idx}.weight"]),
+            "bias": _np(sd[f"{prefix}{t_idx}.bias"]),
+        }
+    return {"params": params, "batch_stats": {}}
+
+
+def port_squeezenet_trunk(sd: Mapping[str, Any], prefix: str = "features.") -> Dict:
+    """torchvision SqueezeNet 1.1 ``features.*`` state_dict → trunk vars."""
+    def conv(key):
+        return {"kernel": _conv(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+    params: Dict[str, Any] = {
+        "conv0": conv(f"{prefix}0")
+    }
+    # fire modules at Sequential indices 3,4,6,7,9,10,11,12
+    for fire_i, t_idx in enumerate((3, 4, 6, 7, 9, 10, 11, 12)):
+        params[f"fire{fire_i}"] = {
+            "squeeze": conv(f"{prefix}{t_idx}.squeeze"),
+            "expand1": conv(f"{prefix}{t_idx}.expand1x1"),
+            "expand3": conv(f"{prefix}{t_idx}.expand3x3"),
+        }
+    return {"params": params, "batch_stats": {}}
+
+
 def port_retrieval_net(
     sd: Mapping[str, Any],
     arch: str,
@@ -114,6 +144,10 @@ def port_retrieval_net(
         trunk = port_resnet_trunk(sd, arch, prefix=trunk_prefix)
     elif arch.startswith("vgg"):
         trunk = port_vgg_trunk(sd, prefix=trunk_prefix)
+    elif arch.startswith("alexnet"):
+        trunk = port_alexnet_trunk(sd, prefix=trunk_prefix)
+    elif arch.startswith("squeezenet"):
+        trunk = port_squeezenet_trunk(sd, prefix=trunk_prefix)
     else:
         raise ValueError(arch)
 

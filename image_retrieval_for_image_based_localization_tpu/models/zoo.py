@@ -26,6 +26,9 @@ MODEL_ZOO: Dict[str, ModelConfig] = {
     "vgg16-mac": ModelConfig(arch="vgg16", pooling="mac"),
     "vgg16-rmac": ModelConfig(arch="vgg16", pooling="rmac"),
     "vgg16-netvlad64": ModelConfig(arch="vgg16", pooling="netvlad", netvlad_clusters=64),
+    "alexnet-gem": ModelConfig(arch="alexnet", pooling="gem"),
+    "alexnet-mac": ModelConfig(arch="alexnet", pooling="mac"),
+    "squeezenet1_1-gem": ModelConfig(arch="squeezenet1_1", pooling="gem"),
 }
 
 

@@ -41,6 +41,18 @@ class Index:
     P: Optional[np.ndarray] = None      # whitening projection [D', D]
     dims: Optional[int] = None
     ids: Optional[np.ndarray] = None    # image identifiers (or indices)
+    _device_gallery: Optional[jnp.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def device_gallery(self) -> jnp.ndarray:
+        """Device-resident gallery, uploaded once and cached (serving path:
+        re-uploading a multi-GB gallery per query would dominate latency)."""
+        if self._device_gallery is None or (
+            self._device_gallery.shape != self.gallery.shape
+        ):
+            self._device_gallery = jnp.asarray(self.gallery)
+        return self._device_gallery
 
     @classmethod
     def build(
@@ -116,13 +128,13 @@ class Index:
     def query(self, qdescriptors: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k exact search. Returns (scores [Nq,k], indices [Nq,k])."""
         q = self.transform_queries(qdescriptors)
-        scores, idx = knn_search(jnp.asarray(self.gallery), jnp.asarray(q), k=k)
+        scores, idx = knn_search(self.device_gallery(), jnp.asarray(q), k=k)
         return np.asarray(scores), np.asarray(idx)
 
     def ranks(self, qdescriptors: np.ndarray) -> np.ndarray:
         """Full ranking [N, Nq] for mAP evaluation."""
         q = self.transform_queries(qdescriptors)
-        return full_ranks(self.gallery, q)
+        return full_ranks(self.device_gallery(), q)
 
     # -- persistence ---------------------------------------------------------
 

@@ -43,6 +43,10 @@ class TrainConfig:
     weight_decay: float = 1e-6
     n_neg: int = 5
     batch_tuples: int = 5          # tuples per step
+    # rematerialize trunk activations in backward (jax.checkpoint): trades
+    # ~1.3x FLOPs for O(sqrt) activation memory — enables large tuple
+    # batches at 1024px on one chip
+    remat: bool = False
 
 
 @flax.struct.dataclass
@@ -85,12 +89,17 @@ def _loss_fn(model, cfg: TrainConfig, params, batch_stats, pixels, labels):
     """pixels: [B, T, H, W, C]; labels: [B, T] (+1 pos / -1 neg / 0 query)."""
     B, T, H, W, C = pixels.shape
     flat = pixels.reshape(B * T, H, W, C)
-    variables = {"params": params}
-    mutable = []
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
-        mutable = ["batch_stats"]
-    out = model.apply(variables, flat, train=True, mutable=mutable)
+    mutable = ["batch_stats"] if batch_stats else []
+
+    def fwd(params, batch_stats, flat):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, flat, train=True, mutable=mutable)
+
+    if cfg.remat:
+        fwd = jax.checkpoint(fwd)
+    out = fwd(params, batch_stats, flat)
     if mutable:
         desc, updates = out
         new_stats = updates["batch_stats"]

@@ -138,3 +138,47 @@ class TestTorchParity:
         model = RetrievalNet(arch="resnet18", pooling="gem")
         got = np.asarray(model.apply(variables, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+class TestExtraArchParity:
+    def test_alexnet_trunk_parity(self):
+        from torch_oracles import AlexNetTorch
+        from irtpu.models.torch_port import port_alexnet_trunk
+        from irtpu.models.alexnet import AlexNetTrunk
+        import torch
+
+        tm = AlexNetTorch().eval()
+        v = port_alexnet_trunk(tm.state_dict())
+        x = _np_input((1, 128, 128, 3), 20)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(AlexNetTrunk().apply({"params": v["params"]}, jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    def test_squeezenet_trunk_parity_including_ceil_pool(self):
+        from torch_oracles import SqueezeNetTorch
+        from irtpu.models.torch_port import port_squeezenet_trunk
+        from irtpu.models.squeezenet import SqueezeNetTrunk
+        import torch
+
+        tm = SqueezeNetTorch().eval()
+        v = port_squeezenet_trunk(tm.state_dict())
+        # 114: (114-3)=111 odd after conv -> exercises ceil_mode emulation
+        for size in (128, 114):
+            x = _np_input((1, size, size, 3), 21)
+            with torch.no_grad():
+                want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(
+                SqueezeNetTrunk().apply({"params": v["params"]}, jnp.asarray(x))
+            )
+            assert got.shape == want.shape, (got.shape, want.shape)
+            np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    def test_full_model_shapes(self):
+        for arch, dim in (("alexnet", 256), ("squeezenet1_1", 512)):
+            model = create_model(arch=arch, pooling="gem")
+            x = jnp.asarray(_np_input((1, 128, 128, 3)))
+            variables = model.init(jax.random.PRNGKey(0), x)
+            d = model.apply(variables, x)
+            assert d.shape == (1, dim)

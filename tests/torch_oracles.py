@@ -125,3 +125,58 @@ def randomize_bn_stats(model, seed=0):
             m.running_mean = torch.randn(m.num_features, generator=g) * 0.5
             m.running_var = torch.rand(m.num_features, generator=g) + 0.5
     return model
+
+
+class AlexNetTorch(nn.Module):
+    """torchvision-named AlexNet features, final max-pool stripped."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(inplace=True), nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(inplace=True), nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        return self.features(x)
+
+
+class FireTorch(nn.Module):
+    def __init__(self, inp, s, e1, e3):
+        super().__init__()
+        self.squeeze = nn.Conv2d(inp, s, 1)
+        self.squeeze_activation = nn.ReLU(inplace=True)
+        self.expand1x1 = nn.Conv2d(s, e1, 1)
+        self.expand1x1_activation = nn.ReLU(inplace=True)
+        self.expand3x3 = nn.Conv2d(s, e3, 3, padding=1)
+        self.expand3x3_activation = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        x = self.squeeze_activation(self.squeeze(x))
+        return torch.cat([
+            self.expand1x1_activation(self.expand1x1(x)),
+            self.expand3x3_activation(self.expand3x3(x)),
+        ], 1)
+
+
+class SqueezeNetTorch(nn.Module):
+    """torchvision-named SqueezeNet 1.1 features."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2, ceil_mode=True),
+            FireTorch(64, 16, 64, 64), FireTorch(128, 16, 64, 64),
+            nn.MaxPool2d(3, 2, ceil_mode=True),
+            FireTorch(128, 32, 128, 128), FireTorch(256, 32, 128, 128),
+            nn.MaxPool2d(3, 2, ceil_mode=True),
+            FireTorch(256, 48, 192, 192), FireTorch(384, 48, 192, 192),
+            FireTorch(384, 64, 256, 256), FireTorch(512, 64, 256, 256),
+        )
+
+    def forward(self, x):
+        return self.features(x)

@@ -143,3 +143,22 @@ def test_extract_vectors_alias():
     imgs = synth_images(2, seed=12)
     d1 = extract_vectors(ex, imgs)
     assert d1.shape == (2, 512)
+
+
+def test_localization_pairs_output(tmp_path):
+    from irtpu.localization import localize_shortlist
+
+    rng = np.random.RandomState(13)
+    db = rng.randn(20, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = build_index(db, IndexConfig(whitening=None),
+                        ids=[f"db/{i:03d}.jpg" for i in range(20)])
+    q = db[[3, 7]] + rng.randn(2, 16).astype(np.float32) * 0.01
+    path = str(tmp_path / "pairs.txt")
+    pairs, scores = localize_shortlist(
+        index, q, ["q/a.jpg", "q/b.jpg"], k=5, out_path=path
+    )
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 10
+    assert lines[0].split() == ["q/a.jpg", "db/003.jpg"]
+    assert lines[5].split() == ["q/b.jpg", "db/007.jpg"]

@@ -44,6 +44,10 @@ OUTPUT_DIM = {
     "vgg16": 512,
     "alexnet": 256,
     "squeezenet1_1": 512,
+    "densenet121": 1024,
+    "densenet169": 1664,
+    "densenet201": 1920,
+    "densenet161": 2208,
 }
 
 
@@ -87,6 +91,12 @@ class RetrievalNet(nn.Module):
             )
 
             return AlexNetTrunk(self.arch, self.dtype, name="trunk")
+        if self.arch.startswith("densenet"):
+            from image_retrieval_for_image_based_localization_tpu.models.densenet import (
+                DenseNetTrunk,
+            )
+
+            return DenseNetTrunk(self.arch, self.dtype, name="trunk")
         if self.arch.startswith("squeezenet"):
             from image_retrieval_for_image_based_localization_tpu.models.squeezenet import (
                 SqueezeNetTrunk,

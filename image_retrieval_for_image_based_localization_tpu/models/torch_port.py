@@ -127,6 +127,47 @@ def port_squeezenet_trunk(sd: Mapping[str, Any], prefix: str = "features.") -> D
     return {"params": params, "batch_stats": {}}
 
 
+def port_densenet_trunk(sd: Mapping[str, Any], arch: str, prefix: str = "features.") -> Dict:
+    """torchvision DenseNet ``features.*`` state_dict → trunk vars."""
+    from image_retrieval_for_image_based_localization_tpu.models.densenet import (
+        DENSENET_SPECS,
+    )
+
+    def bn(key):
+        return (
+            {"bn": {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}},
+            {"bn": {"mean": _np(sd[f"{key}.running_mean"]),
+                    "var": _np(sd[f"{key}.running_var"])}},
+        )
+
+    params: Dict[str, Any] = {"conv0": {"kernel": _conv(sd[f"{prefix}conv0.weight"])}}
+    stats: Dict[str, Any] = {}
+    params["norm0"], stats["norm0"] = bn(f"{prefix}norm0")
+
+    _, blocks, _ = DENSENET_SPECS[arch]
+    for bi, n_layers in enumerate(blocks):
+        for li in range(n_layers):
+            t = f"{prefix}denseblock{bi + 1}.denselayer{li + 1}"
+            name = f"block{bi + 1}_layer{li + 1}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            p["norm1"], s["norm1"] = bn(f"{t}.norm1")
+            p["conv1"] = {"kernel": _conv(sd[f"{t}.conv1.weight"])}
+            p["norm2"], s["norm2"] = bn(f"{t}.norm2")
+            p["conv2"] = {"kernel": _conv(sd[f"{t}.conv2.weight"])}
+            params[name] = p
+            stats[name] = s
+        if bi < len(blocks) - 1:
+            t = f"{prefix}transition{bi + 1}"
+            p, s = {}, {}
+            p["norm"], s["norm"] = bn(f"{t}.norm")
+            p["conv"] = {"kernel": _conv(sd[f"{t}.conv.weight"])}
+            params[f"transition{bi + 1}"] = p
+            stats[f"transition{bi + 1}"] = s
+    params["norm5"], stats["norm5"] = bn(f"{prefix}norm5")
+    return {"params": params, "batch_stats": stats}
+
+
 def port_retrieval_net(
     sd: Mapping[str, Any],
     arch: str,
@@ -148,6 +189,8 @@ def port_retrieval_net(
         trunk = port_alexnet_trunk(sd, prefix=trunk_prefix)
     elif arch.startswith("squeezenet"):
         trunk = port_squeezenet_trunk(sd, prefix=trunk_prefix)
+    elif arch.startswith("densenet"):
+        trunk = port_densenet_trunk(sd, arch, prefix=trunk_prefix)
     else:
         raise ValueError(arch)
 

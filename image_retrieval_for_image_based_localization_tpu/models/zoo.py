@@ -29,6 +29,7 @@ MODEL_ZOO: Dict[str, ModelConfig] = {
     "alexnet-gem": ModelConfig(arch="alexnet", pooling="gem"),
     "alexnet-mac": ModelConfig(arch="alexnet", pooling="mac"),
     "squeezenet1_1-gem": ModelConfig(arch="squeezenet1_1", pooling="gem"),
+    "densenet121-gem": ModelConfig(arch="densenet121", pooling="gem"),
 }
 
 

@@ -3,6 +3,8 @@ from image_retrieval_for_image_based_localization_tpu.training.trainer import ( 
     create_train_state,
     make_train_step,
     make_eval_step,
+    make_val_step,
+    validate,
     train_epoch,
 )
 from image_retrieval_for_image_based_localization_tpu.training.mining import (  # noqa: F401

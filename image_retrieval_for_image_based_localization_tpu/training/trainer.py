@@ -153,6 +153,35 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_val_step(model: RetrievalNet, cfg: TrainConfig = TrainConfig()):
+    """Validation loss (reference ``validate()``): eval-mode forward (frozen
+    BN running stats), same tuple loss, no gradients."""
+
+    def _loss_eval(params, batch_stats, pixels, labels):
+        B, T, H, W, C = pixels.shape
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        desc = model.apply(variables, pixels.reshape(B * T, H, W, C), train=False)
+        desc = desc.reshape(B, T, -1)
+        if cfg.loss == "contrastive":
+            return contrastive_loss(desc, labels, margin=cfg.margin)
+        return triplet_loss(desc, margin=cfg.margin)
+
+    return jax.jit(_loss_eval)
+
+
+def validate(state: TrainState, val_step, batches) -> float:
+    """Mean validation loss over an iterable of (pixels, labels) batches."""
+    import numpy as _np
+
+    losses = [
+        float(val_step(state.params, state.batch_stats, jnp.asarray(p), jnp.asarray(l)))
+        for p, l in batches
+    ]
+    return float(_np.mean(losses)) if losses else 0.0
+
+
 def make_eval_step(model: RetrievalNet):
     """Descriptor forward in eval mode (frozen BN) for validation loss."""
 

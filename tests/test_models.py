@@ -182,3 +182,25 @@ class TestExtraArchParity:
             variables = model.init(jax.random.PRNGKey(0), x)
             d = model.apply(variables, x)
             assert d.shape == (1, dim)
+
+
+def test_densenet_trunk_parity():
+    import torch
+    from torch_oracles import densenet121_trunk, randomize_bn_stats
+    from irtpu.models.torch_port import port_densenet_trunk
+    from irtpu.models.densenet import DenseNetTrunk
+
+    # a slimmed densenet121 (same structure, fewer layers) keeps the CPU
+    # test fast; the port walks the same naming contract
+    tm = randomize_bn_stats(densenet121_trunk(), 30).eval()
+    v = port_densenet_trunk(tm.state_dict(), "densenet121")
+    x = _np_input((1, 64, 64, 3), 31)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        DenseNetTrunk("densenet121").apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]}, jnp.asarray(x)
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)

@@ -81,3 +81,24 @@ def test_extractor_native_vs_pil_descriptors(jpgs):
     dp = ex_p.extract(jpgs)
     cos = np.sum(dn * dp, axis=1)
     assert (cos > 0.99).all(), cos
+
+
+def test_png_and_grayscale_decode(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = (np.kron(rng.rand(12, 16, 3), np.ones((10, 10, 1))) * 255).astype(np.uint8)
+    p_png = str(tmp_path / "a.png")
+    Image.fromarray(img).save(p_png)
+    p_gray = str(tmp_path / "b.jpg")
+    Image.fromarray(img[:, :, 0]).save(p_gray, quality=95)  # grayscale jpeg
+    p_pal = str(tmp_path / "c.png")
+    Image.fromarray(img).convert("P").save(p_pal)  # palette png
+
+    b_nat = list(make_batches_native([p_png, p_gray, p_pal], image_size=80, batch_size=3))
+    b_pil = list(make_batches([p_png, p_gray, p_pal], image_size=80, batch_size=3))
+    assert len(b_nat) == len(b_pil)
+    for bn, bp in zip(b_nat, b_pil):
+        np.testing.assert_array_equal(bn.mask, bp.mask)
+        diff = np.abs(bn.pixels - bp.pixels)[bn.mask.nonzero()]
+        assert np.median(diff) < 0.12, np.median(diff)

@@ -128,3 +128,24 @@ def test_train_epoch_runs():
     ]
     state, mean_loss = train_epoch(state, step, batches)
     assert np.isfinite(mean_loss)
+
+
+def test_validation_loop():
+    from irtpu.training import make_val_step, validate
+
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    cfg = TrainConfig(n_neg=1)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+    )
+    val_step = make_val_step(model, cfg)
+    rng = np.random.RandomState(4)
+    batches = [
+        (
+            rng.rand(2, 3, 32, 32, 3).astype(np.float32),
+            np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)),
+        )
+    ]
+    v1 = validate(state, val_step, batches)
+    v2 = validate(state, val_step, batches)
+    assert np.isfinite(v1) and v1 == v2  # eval mode: deterministic

@@ -180,3 +180,72 @@ class SqueezeNetTorch(nn.Module):
 
     def forward(self, x):
         return self.features(x)
+
+
+class DenseLayerTorch(nn.Module):
+    def __init__(self, in_ch, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(in_ch)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.conv1 = nn.Conv2d(in_ch, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.relu2 = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(bn_size * growth, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        h = self.conv1(self.relu1(self.norm1(x)))
+        h = self.conv2(self.relu2(self.norm2(h)))
+        return torch.cat([x, h], 1)
+
+
+class TransitionTorch(nn.Module):
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.norm = nn.BatchNorm2d(in_ch)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv = nn.Conv2d(in_ch, out_ch, 1, bias=False)
+        self.pool = nn.AvgPool2d(2, 2)
+
+    def forward(self, x):
+        return self.pool(self.conv(self.relu(self.norm(x))))
+
+
+class DenseNetTorch(nn.Module):
+    """torchvision-named DenseNet-121 features + final ReLU (trunk form)."""
+
+    def __init__(self, growth=32, blocks=(6, 12, 24, 16), init=64):
+        super().__init__()
+        from collections import OrderedDict
+
+        layers = OrderedDict()
+        layers["conv0"] = nn.Conv2d(3, init, 7, 2, 3, bias=False)
+        layers["norm0"] = nn.BatchNorm2d(init)
+        layers["relu0"] = nn.ReLU(inplace=True)
+        layers["pool0"] = nn.MaxPool2d(3, 2, 1)
+        ch = init
+        for bi, n in enumerate(blocks):
+            block = nn.Module()
+            for li in range(n):
+                block.add_module(f"denselayer{li+1}", DenseLayerTorch(ch + li * growth, growth))
+            # emulate torchvision's _DenseBlock forward (sequential)
+            def make_fwd(b, n=n):
+                def fwd(x):
+                    for li in range(n):
+                        x = getattr(b, f"denselayer{li+1}")(x)
+                    return x
+                return fwd
+            block.forward = make_fwd(block)
+            layers[f"denseblock{bi+1}"] = block
+            ch += n * growth
+            if bi < len(blocks) - 1:
+                layers[f"transition{bi+1}"] = TransitionTorch(ch, ch // 2)
+                ch //= 2
+        layers["norm5"] = nn.BatchNorm2d(ch)
+        self.features = nn.Sequential(layers)
+
+    def forward(self, x):
+        return torch.relu(self.features(x))
+
+
+def densenet121_trunk(blocks=(6, 12, 24, 16)):
+    return DenseNetTorch(blocks=blocks)

@@ -229,6 +229,7 @@ class Extractor:
                 batch_size=cfg.batch_size,
                 bucket_multiple=cfg.bucket_multiple,
                 bbxs=bbxs,
+                upscale=cfg.upscale,
             )
         else:
             batches = make_batches(
@@ -238,6 +239,7 @@ class Extractor:
                 bucket_multiple=cfg.bucket_multiple,
                 bbxs=bbxs,
                 squarify=cfg.squarify,
+                upscale=cfg.upscale,
             )
         pending = []  # (device descs future, host indices) — drain lazily
         for batch in _prefetched(batches, prefetch):

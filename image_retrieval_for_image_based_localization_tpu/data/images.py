@@ -98,6 +98,7 @@ def make_batches_native(
     bbxs: Optional[Sequence] = None,
     squarify: bool = False,
     nthreads: int = 0,
+    upscale: bool = True,
 ) -> Iterable[ImageBatch]:
     """Path-input batching with the native C++ decode/resize/normalize.
 
@@ -119,7 +120,7 @@ def make_batches_native(
             h = max(1, int(round(y1)) - int(round(y0)))
             w = max(1, int(round(x1)) - int(round(x0)))
         m = max(h, w)
-        if m != image_size:
+        if m != image_size and (upscale or m > image_size):
             s = image_size / m
             h, w = max(1, round(h * s)), max(1, round(w * s))
         return h, w
@@ -141,7 +142,8 @@ def make_batches_native(
             chunk_bbxs = None if bbxs is None else [bbxs[i] for i in chunk]
             size = image_size if not squarify else max(H, W)
             pixels_v, sizes = preprocess_batch_native(
-                chunk_paths, size, H, W, bbxs=chunk_bbxs, nthreads=nthreads
+                chunk_paths, size, H, W, bbxs=chunk_bbxs, nthreads=nthreads,
+                upscale=upscale,
             )
             B = batch_size
             pixels = np.zeros((B, H, W, 3), np.float32)
@@ -164,6 +166,7 @@ def _prepare_one(
     img: ImageSource,
     image_size: int,
     bbx=None,
+    upscale: bool = True,
 ) -> np.ndarray:
     if isinstance(img, str):
         img = load_image(img, bbx=bbx)
@@ -174,7 +177,7 @@ def _prepare_one(
         if bbx is not None:
             x0, y0, x1, y1 = (int(round(v)) for v in bbx)
             img = img[y0:y1, x0:x1]
-    return max_side_resize(img, image_size)
+    return max_side_resize(img, image_size, upscale=upscale)
 
 
 def make_batches(
@@ -184,6 +187,7 @@ def make_batches(
     bucket_multiple: int = 32,
     bbxs: Optional[Sequence] = None,
     squarify: bool = False,
+    upscale: bool = True,
 ) -> Iterable[ImageBatch]:
     """Group images into per-bucket static-shape batches.
 
@@ -193,7 +197,7 @@ def make_batches(
     resized: List[np.ndarray] = []
     for i, img in enumerate(images):
         bbx = bbxs[i] if bbxs is not None else None
-        resized.append(_prepare_one(img, image_size, bbx=bbx))
+        resized.append(_prepare_one(img, image_size, bbx=bbx, upscale=upscale))
 
     buckets: dict[Tuple[int, int], List[int]] = {}
     for i, img in enumerate(resized):

@@ -77,9 +77,11 @@ def preprocess_batch_native(
     out_w: int,
     bbxs: Optional[Sequence] = None,
     nthreads: int = 0,
+    upscale: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize+normalize ``paths`` into a padded batch.
 
+    ``upscale=False`` = reference thumbnail semantics (shrink-only).
     Returns (pixels [n, out_h, out_w, 3] float32, sizes [n, 2] int32 valid
     h/w — (0, 0) marks a failed decode).
     """
@@ -102,7 +104,7 @@ def preprocess_batch_native(
     lib.irtpu_preprocess_batch(
         c_paths,
         n,
-        image_size,
+        image_size if upscale else -image_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out_h,
         out_w,

@@ -40,6 +40,9 @@ class ExtractConfig:
     # None = auto (use the C++ decode/resize library when built and inputs
     # are paths); True forces it; False forces the PIL path
     native_preproc: Optional[bool] = None
+    # reference parity: cirtorch's imresize only SHRINKS to image_size
+    # (PIL thumbnail); upscale=True also grows small images (better batching)
+    upscale: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -165,7 +165,9 @@ extern "C" {
 // float32 NHWC buffer.
 //
 //   paths:      n file paths
-//   image_size: max-side target (shrink or grow, aspect preserved)
+//   image_size: max-side target (shrink or grow, aspect preserved). When
+//               negative, |image_size| is shrink-only (reference thumbnail
+//               semantics: images already smaller keep their size).
 //   out:        [n, out_h, out_w, 3] float32, zero-initialized by caller
 //   sizes:      [n, 2] int32 — receives each image's valid (h, w)
 //   bbx:        optional [n, 4] float (x0, y0, x1, y1) crop per image, or null
@@ -173,6 +175,8 @@ extern "C" {
 int irtpu_preprocess_batch(const char** paths, int n, int image_size,
                            float* out, int out_h, int out_w, int* sizes,
                            const float* bbx, int nthreads) {
+  const bool shrink_only = image_size < 0;
+  if (shrink_only) image_size = -image_size;
   std::atomic<int> next(0), ok(0);
   auto work = [&]() {
     for (;;) {
@@ -200,7 +204,7 @@ int irtpu_preprocess_batch(const char** paths, int n, int image_size,
       }
       const int m = std::max(img.h, img.w);
       int nh = img.h, nw = img.w;
-      if (m != image_size) {
+      if (m != image_size && !(shrink_only && m < image_size)) {
         const float scale = float(image_size) / m;
         nh = std::max(1, int(std::lround(img.h * scale)));
         nw = std::max(1, int(std::lround(img.w * scale)));

@@ -102,3 +102,22 @@ def test_png_and_grayscale_decode(tmp_path):
         np.testing.assert_array_equal(bn.mask, bp.mask)
         diff = np.abs(bn.pixels - bp.pixels)[bn.mask.nonzero()]
         assert np.median(diff) < 0.12, np.median(diff)
+
+
+def test_shrink_only_semantics(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(9)
+    small = (rng.rand(40, 50, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "small.jpg")
+    Image.fromarray(small).save(p, quality=95)
+    # upscale=False: 40x50 image stays 40x50 under image_size=96
+    (b,) = list(make_batches_native([p], image_size=96, batch_size=1, upscale=False))
+    h = b.mask[0].any(axis=1).sum()
+    w = b.mask[0].any(axis=0).sum()
+    assert (h, w) == (40, 50), (h, w)
+    # PIL path agrees
+    (bp,) = list(make_batches([small.astype(np.float32) / 255], image_size=96,
+                              batch_size=1, upscale=False))
+    assert bp.pixels.shape == b.pixels.shape
+    np.testing.assert_array_equal(bp.mask, b.mask)

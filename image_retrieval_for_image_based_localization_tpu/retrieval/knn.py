@@ -27,13 +27,28 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 
 def score_matrix(gallery: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
-    """Dense similarity scores ``[Nq, Ng] = queries @ gallery.T`` in f32 on MXU."""
-    return jax.lax.dot_general(
+    """Dense similarity scores ``[Nq, Ng] = queries @ gallery.T`` in f32 on MXU.
+
+    Handles mixed-precision galleries: int8 storage (symmetric /127
+    quantization of unit-norm descriptors) is dequantized in-flight — fused
+    into the chunk matmul, never materialized — and scores are rescaled to
+    the cosine range; bf16 galleries pull the queries down to bf16 so the
+    MXU runs at bf16 rate with f32 accumulation.
+    """
+    scale = None
+    if gallery.dtype == jnp.int8:
+        gallery = gallery.astype(jnp.float32)
+        scale = 1.0 / 127.0
+        queries = queries.astype(jnp.float32)
+    elif gallery.dtype != queries.dtype:
+        queries = queries.astype(gallery.dtype)
+    s = jax.lax.dot_general(
         queries,
         gallery,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return s if scale is None else s * scale
 
 
 def merge_topk(

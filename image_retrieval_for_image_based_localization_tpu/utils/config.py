@@ -54,6 +54,10 @@ class IndexConfig:
     # applied to all. Host-side eig over >>100k rows adds nothing
     # statistically and this host has 1 CPU core.
     whiten_sample: Optional[int] = 200_000
+    # device gallery dtype: 'float32' (bitwise ranking parity) | 'bfloat16'
+    # (2x memory, measured recall@10 = 1.0) | 'int8' (4x memory; verify
+    # recall on your data - 0.83 on worst-case iid-random vectors)
+    storage: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,3 +100,38 @@ def test_knn_search_ties_heavy_duplicates():
     s, i = knn_search(jnp.asarray(g), jnp.asarray(q), k=60, chunk=256)
     ws, wi = _np_topk(g, q, 60)
     np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_storage_dtypes_recall():
+    from irtpu.retrieval import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(20)
+    g = rng.randn(2000, 128).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = rng.randn(16, 128).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    base = Index.build(g, IndexConfig(whitening=None, storage="float32"))
+    _, want = base.query(q, k=10)
+
+    for storage, min_recall in (("bfloat16", 0.95), ("int8", 0.8)):
+        idx = Index.build(g, IndexConfig(whitening=None, storage=storage))
+        assert idx.device_gallery().dtype == {"bfloat16": jnp.bfloat16, "int8": jnp.int8}[storage]
+        s, got = idx.query(q, k=10)
+        recall = np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(16)])
+        assert recall >= min_recall, (storage, recall)
+        # int8 scores are rescaled to cosine range
+        assert np.abs(s).max() <= 1.01
+
+
+def test_storage_persists(tmp_path):
+    from irtpu.retrieval import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(21)
+    g = rng.randn(50, 16).astype(np.float32)
+    idx = Index.build(g, IndexConfig(whitening=None, storage="int8"))
+    idx.save(str(tmp_path / "i.npz"))
+    loaded = Index.load(str(tmp_path / "i.npz"))
+    assert loaded.storage == "int8"

@@ -15,7 +15,6 @@ semantics").
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -27,7 +26,6 @@ from image_retrieval_for_image_based_localization_tpu.models.retrieval_net impor
 )
 from image_retrieval_for_image_based_localization_tpu.data.images import make_batches
 from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
-from image_retrieval_for_image_based_localization_tpu.retrieval.knn import knn_search
 from image_retrieval_for_image_based_localization_tpu.utils.config import (
     ExtractConfig,
     IndexConfig,

@@ -24,7 +24,6 @@ from image_retrieval_for_image_based_localization_tpu.evaluation.harness import 
 )
 from image_retrieval_for_image_based_localization_tpu.utils.config import (
     GRADED_CONFIGS,
-    IndexConfig,
 )
 from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
     MetricsLogger,

@@ -7,8 +7,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import numpy as np
-
 from image_retrieval_for_image_based_localization_tpu.api import Extractor
 from image_retrieval_for_image_based_localization_tpu.data.test_datasets import (
     TestDataset,

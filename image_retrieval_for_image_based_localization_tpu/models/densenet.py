@@ -10,7 +10,7 @@ channels and avg-pool. Parameters port via
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

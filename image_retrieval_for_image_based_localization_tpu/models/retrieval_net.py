@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from image_retrieval_for_image_based_localization_tpu.models.resnet import (
     ResNetTrunk,
-    RESNET_SPECS,
 )
 from image_retrieval_for_image_based_localization_tpu.models.vgg import VGGTrunk
 from image_retrieval_for_image_based_localization_tpu.ops import (

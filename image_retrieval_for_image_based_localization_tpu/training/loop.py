@@ -11,15 +11,12 @@ source swaps in transparently.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np
 
 from image_retrieval_for_image_based_localization_tpu.api import Extractor
-from image_retrieval_for_image_based_localization_tpu.data.images import (
-    make_batches,
-)
 from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
     RetrievalNet,
 )

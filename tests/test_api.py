@@ -5,9 +5,8 @@ ResNet-18 + GeM, brute-force kNN, ranking parity with the NumPy pipeline.
 """
 
 import numpy as np
-import jax.numpy as jnp
 
-from irtpu import extract_features, build_index, query, Extractor
+from irtpu import build_index, query, Extractor
 from irtpu import ExtractConfig, IndexConfig, ModelConfig
 from irtpu.evaluation import compute_map
 from irtpu.retrieval import Index

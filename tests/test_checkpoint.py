@@ -1,11 +1,9 @@
 """Checkpoint save/load roundtrip (orbax) + metrics logger."""
 
 import json
-import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from irtpu.models import RetrievalNet
 from irtpu.training import TrainConfig, create_train_state

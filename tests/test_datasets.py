@@ -2,7 +2,6 @@
 
 import os
 
-import numpy as np
 import pytest
 
 from irtpu.data.test_datasets import configdataset, make_synthetic_dataset

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import pytest
 
 from irtpu.api import Extractor
-from irtpu.models import RetrievalNet
 from irtpu.models.torch_port import port_retrieval_net
 from irtpu.utils.config import ExtractConfig, ModelConfig
 

@@ -1,11 +1,9 @@
 """Native C++ preprocessing vs the PIL oracle pipeline."""
 
-import os
-
 import numpy as np
 import pytest
 
-from irtpu.data.native import native_available, preprocess_batch_native
+from irtpu.data.native import native_available
 from irtpu.data import make_batches
 from irtpu.data.images import make_batches_native
 

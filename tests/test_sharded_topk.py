@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from irtpu.parallel import create_mesh, sharded_knn, ShardedIndex
+from irtpu.parallel import create_mesh, ShardedIndex
 from irtpu.retrieval import knn_search, Index
 from irtpu.utils.config import IndexConfig
 

@@ -50,6 +50,33 @@ OUTPUT_DIM = {
 }
 
 
+def build_trunk(arch: str, dtype: Any = jnp.float32, name: Optional[str] = None):
+    kw = {} if name is None else {"name": name}
+    if arch.startswith("resnet"):
+        return ResNetTrunk(arch, dtype, **kw)
+    if arch.startswith("vgg"):
+        return VGGTrunk(arch, dtype, **kw)
+    if arch.startswith("alexnet"):
+        from image_retrieval_for_image_based_localization_tpu.models.alexnet import (
+            AlexNetTrunk,
+        )
+
+        return AlexNetTrunk(arch, dtype, **kw)
+    if arch.startswith("densenet"):
+        from image_retrieval_for_image_based_localization_tpu.models.densenet import (
+            DenseNetTrunk,
+        )
+
+        return DenseNetTrunk(arch, dtype, **kw)
+    if arch.startswith("squeezenet"):
+        from image_retrieval_for_image_based_localization_tpu.models.squeezenet import (
+            SqueezeNetTrunk,
+        )
+
+        return SqueezeNetTrunk(arch, dtype, **kw)
+    raise ValueError(f"unknown arch {arch!r}")
+
+
 class RetrievalNet(nn.Module):
     """Backbone + descriptor head.
 
@@ -79,30 +106,10 @@ class RetrievalNet(nn.Module):
             c = self.whiten_dim
         return c
 
-    def make_trunk(self):
-        if self.arch.startswith("resnet"):
-            return ResNetTrunk(self.arch, self.dtype, name="trunk")
-        if self.arch.startswith("vgg"):
-            return VGGTrunk(self.arch, self.dtype, name="trunk")
-        if self.arch.startswith("alexnet"):
-            from image_retrieval_for_image_based_localization_tpu.models.alexnet import (
-                AlexNetTrunk,
-            )
-
-            return AlexNetTrunk(self.arch, self.dtype, name="trunk")
-        if self.arch.startswith("densenet"):
-            from image_retrieval_for_image_based_localization_tpu.models.densenet import (
-                DenseNetTrunk,
-            )
-
-            return DenseNetTrunk(self.arch, self.dtype, name="trunk")
-        if self.arch.startswith("squeezenet"):
-            from image_retrieval_for_image_based_localization_tpu.models.squeezenet import (
-                SqueezeNetTrunk,
-            )
-
-            return SqueezeNetTrunk(self.arch, self.dtype, name="trunk")
-        raise ValueError(f"unknown arch {self.arch!r}")
+    def make_trunk(self, name: Optional[str] = "trunk"):
+        """Trunk module; ``name=None`` gives a standalone-applicable module
+        (an explicitly named flax module requires a parent scope)."""
+        return build_trunk(self.arch, self.dtype, name=name)
 
     @nn.compact
     def __call__(

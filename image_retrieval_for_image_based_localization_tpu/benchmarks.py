@@ -58,7 +58,23 @@ def run_graded_config(
 
     if n in (1, 2, 3):
         ds = _dataset(cfg, data_root, synth_root)
-        out = evaluate_dataset(ds, cfg.extract, cfg.index, logger=logger)
+        extractor = None
+        if cfg.extract.model.pooling == "netvlad":
+            # config 3: k-means centroid init from the corpus (SURVEY.md §7)
+            from image_retrieval_for_image_based_localization_tpu.training.netvlad_init import (
+                init_netvlad_from_images,
+            )
+
+            extractor = Extractor(cfg.extract)
+            variables = init_netvlad_from_images(
+                extractor.model, extractor.variables, ds.image_paths, cfg.extract
+            )
+            extractor = Extractor(cfg.extract, variables=variables)
+            logger.log(config=n, event="netvlad_kmeans_init",
+                       clusters=cfg.extract.model.netvlad_clusters)
+        out = evaluate_dataset(
+            ds, cfg.extract, cfg.index, logger=logger, extractor=extractor
+        )
         return {"config": cfg.name, "map": out["results"]}
 
     # configs 4-5: gallery scale. Extract a real (synthetic-image) core; pad

@@ -102,7 +102,7 @@ def cmd_evaluate(argv):
     _model_args(p)
     p.add_argument("--dataset", required=True)
     p.add_argument("--data-root", required=True)
-    p.add_argument("--whitening", default=None, choices=["pca", "lw", None])
+    p.add_argument("--whitening", default="none", choices=["pca", "lw", "none"])
     p.add_argument("--whiten-dims", type=int, default=None)
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
@@ -130,7 +130,10 @@ def cmd_evaluate(argv):
     evaluate_dataset(
         dataset,
         cfg,
-        IndexConfig(whitening=args.whitening, whiten_dims=args.whiten_dims),
+        IndexConfig(
+            whitening=None if args.whitening == "none" else args.whitening,
+            whiten_dims=args.whiten_dims,
+        ),
         extractor=ex,
         logger=MetricsLogger(args.metrics_out, echo=True),
         use_sharded_index=args.sharded,

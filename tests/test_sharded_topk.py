@@ -66,3 +66,15 @@ def test_sharded_index_from_whitened_index(mesh):
     s2, i2 = si.query(q, k=7)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_2d_mesh_data_and_gallery():
+    """Gallery sharding composes with a nontrivial data axis (2x4 mesh)."""
+    mesh2 = create_mesh([2, 4])
+    rng = np.random.RandomState(3)
+    g = rng.randn(256, 16).astype(np.float32)
+    q = rng.randn(6, 16).astype(np.float32)
+    si = ShardedIndex(g, mesh=mesh2)
+    s, i = si.query(q, k=9)
+    s1, i1 = knn_search(jnp.asarray(g), jnp.asarray(q), k=9)
+    np.testing.assert_array_equal(np.asarray(i1), i)

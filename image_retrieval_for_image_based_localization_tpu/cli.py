@@ -150,6 +150,8 @@ def cmd_train(argv):
     p.add_argument("--n-neg", type=int, default=5)
     p.add_argument("--batch-tuples", type=int, default=5)
     p.add_argument("--out-dir", required=True)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (loads 'latest')")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the generated synthetic corpus (offline mode)")
     p.add_argument("--data-root", default="/tmp/irtpu_data")

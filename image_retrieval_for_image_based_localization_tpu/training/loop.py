@@ -84,6 +84,23 @@ def _load_tuple_images(
     return out
 
 
+def _real_or_synthetic_pool(data_root: str):
+    """Prefer a real retrieval-SfM-120k pickle under data_root; else the
+    synthetic corpus (zero-egress environment, SURVEY.md §0)."""
+    pkl = os.path.join(
+        data_root, "train", "retrieval-SfM-120k", "retrieval-SfM-120k.pkl"
+    )
+    if os.path.exists(pkl):
+        from image_retrieval_for_image_based_localization_tpu.data.train_dataset import (
+            TuplesDataset,
+        )
+
+        ds = TuplesDataset.from_pickle(pkl, split="train")
+        return ds.paths, ds.clusters, ds.qidxs, ds.pidxs, "retrieval-SfM-120k"
+    paths, clusters, qidxs, pidxs = _synthetic_pool(data_root)
+    return paths, clusters, qidxs, pidxs, "synthetic"
+
+
 def run_training(args) -> dict:
     """Train from CLI args (see cli.cmd_train); returns summary dict."""
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"), echo=True)
@@ -94,9 +111,26 @@ def run_training(args) -> dict:
         batch_tuples=args.batch_tuples,
     )
     state, tx = create_train_state(model, jax.random.PRNGKey(0), cfg=cfg)
+    start_epoch = 0
+    if getattr(args, "resume", None):
+        from image_retrieval_for_image_based_localization_tpu.utils.checkpoint import (
+            load_checkpoint,
+        )
+        import jax.numpy as jnp
+
+        tree, meta = load_checkpoint(args.resume, name="latest", target=state)
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"]),
+        )
+        start_epoch = int(meta.get("epoch", -1)) + 1 if meta else 0
+        logger.log(event="resumed", from_dir=args.resume, start_epoch=start_epoch)
     train_step = make_train_step(model, tx, cfg)
 
-    paths, clusters, qidxs, pidxs = _synthetic_pool(args.data_root)
+    paths, clusters, qidxs, pidxs, source = _real_or_synthetic_pool(args.data_root)
+    logger.log(event="pool", source=source, images=len(paths), pairs=len(qidxs))
     hw = (96, 128)
     images = _load_tuple_images(paths, args.image_size, hw)
 
@@ -107,9 +141,10 @@ def run_training(args) -> dict:
     )
 
     best_loss = float("inf")
-    meta = {"arch": args.arch, "pooling": args.pooling,
-            "whiten_dim": args.whiten_dim, "loss": args.loss}
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        meta = {"arch": args.arch, "pooling": args.pooling,
+                "whiten_dim": args.whiten_dim, "loss": args.loss,
+                "epoch": epoch}
         # 1. re-mine hard negatives with the current model (SURVEY.md §3.5)
         ext = Extractor(ex_cfg, variables={
             "params": state.params, "batch_stats": state.batch_stats,

@@ -149,3 +149,32 @@ def test_validation_loop():
     v1 = validate(state, val_step, batches)
     v2 = validate(state, val_step, batches)
     assert np.isfinite(v1) and v1 == v2  # eval mode: deterministic
+
+
+def test_run_training_resume(tmp_path):
+    """Full training loop + resume from checkpoint (reference --resume)."""
+    import argparse
+
+    from irtpu.training.loop import run_training
+
+    def mkargs(epochs, resume=None, out=None):
+        return argparse.Namespace(
+            arch="resnet18", pooling="gem", whiten_dim=None,
+            loss="contrastive", margin=0.7, lr=1e-4, epochs=epochs,
+            n_neg=1, batch_tuples=2, image_size=64,
+            out_dir=out or str(tmp_path / "run"),
+            data_root=str(tmp_path / "data"), resume=resume, synthetic=True,
+        )
+
+    r1 = run_training(mkargs(1))
+    assert np.isfinite(r1["best_loss"])
+    # resume continues at epoch 1 and completes epoch budget 2
+    r2 = run_training(mkargs(2, resume=str(tmp_path / "run")))
+    assert r2["epochs"] == 2
+    import json, os
+
+    lines = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    resumed = [l for l in lines if l.get("event") == "resumed"]
+    assert resumed and resumed[0]["start_epoch"] == 1
+    epochs_logged = [l["epoch"] for l in lines if "epoch" in l and "train_loss" in l]
+    assert epochs_logged.count(1) == 1  # epoch 1 ran exactly once post-resume

@@ -61,7 +61,7 @@ def _synthetic_pool(root: str, n_scenes=12, views=4, hw=(96, 128), seed=0):
         for a, b in zip(members[:-1], members[1:]):
             qidxs.append(a)
             pidxs.append(b)
-    return paths, clusters, np.asarray(qidxs), np.asarray(pidxs)
+    return paths, clusters, np.asarray(qidxs), np.asarray(pidxs), ds
 
 
 def _load_tuple_images(
@@ -96,9 +96,9 @@ def _real_or_synthetic_pool(data_root: str):
         )
 
         ds = TuplesDataset.from_pickle(pkl, split="train")
-        return ds.paths, ds.clusters, ds.qidxs, ds.pidxs, "retrieval-SfM-120k"
-    paths, clusters, qidxs, pidxs = _synthetic_pool(data_root)
-    return paths, clusters, qidxs, pidxs, "synthetic"
+        return ds.paths, ds.clusters, ds.qidxs, ds.pidxs, "retrieval-SfM-120k", None
+    paths, clusters, qidxs, pidxs, ds = _synthetic_pool(data_root)
+    return paths, clusters, qidxs, pidxs, "synthetic", ds
 
 
 def run_training(args) -> dict:
@@ -129,7 +129,7 @@ def run_training(args) -> dict:
         logger.log(event="resumed", from_dir=args.resume, start_epoch=start_epoch)
     train_step = make_train_step(model, tx, cfg)
 
-    paths, clusters, qidxs, pidxs, source = _real_or_synthetic_pool(args.data_root)
+    paths, clusters, qidxs, pidxs, source, val_ds = _real_or_synthetic_pool(args.data_root)
     logger.log(event="pool", source=source, images=len(paths), pairs=len(qidxs))
     hw = (96, 128)
     images = _load_tuple_images(paths, args.image_size, hw)
@@ -175,6 +175,25 @@ def run_training(args) -> dict:
 
         state, mean_loss = train_epoch(state, train_step, batches)
         logger.log(epoch=epoch, train_loss=mean_loss)
+
+        # per-epoch retrieval validation (cirtorch evaluates test sets while
+        # training): mAP of the corpus queries against the pool descriptors
+        if val_ds is not None and val_ds.gnd:
+            from image_retrieval_for_image_based_localization_tpu.evaluation.map import (
+                compute_map_revisited,
+            )
+            from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+                full_ranks,
+            )
+
+            ext = Extractor(ex_cfg, variables={
+                "params": state.params, "batch_stats": state.batch_stats,
+            })
+            db = ext.extract(val_ds.image_paths)
+            qd = ext.extract(val_ds.query_paths, bbxs=val_ds.query_bbxs)
+            res = compute_map_revisited(full_ranks(db, qd), val_ds.gnd)
+            logger.log(epoch=epoch,
+                       val_map_medium=float(res["medium"]["map"]))
 
         is_best = mean_loss < best_loss
         best_loss = min(best_loss, mean_loss)

@@ -200,6 +200,9 @@ def cmd_build_index(argv):
 
     descs = np.load(args.descriptors)
     wh = None if args.whitening == "none" else args.whitening
+    if wh == "lw":
+        p.error("lw whitening needs matching pairs; use the training loop "
+                "(it saves whitening.npz) or Index.build(pairs=...) directly")
     index = Index.build(descs, IndexConfig(whitening=wh, whiten_dims=args.whiten_dims))
     index.save(args.out)
     print(f"built index over {descs.shape} -> {args.out}")

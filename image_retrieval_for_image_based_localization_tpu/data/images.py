@@ -70,12 +70,35 @@ def bucket_shape(h: int, w: int, multiple: int = 32) -> Tuple[int, int]:
 
 @dataclasses.dataclass
 class ImageBatch:
-    """A static-shape batch: padded pixels + validity mask + source indices."""
+    """A static-shape batch: raw uint8 pixels + valid extents + indices.
 
-    pixels: np.ndarray   # [B, H, W, 3] float32, normalized, zero-padded
-    mask: np.ndarray     # [B, H, W] bool, True on valid pixels
-    indices: np.ndarray  # [B] int — positions in the original image list
-    valid: int           # number of real (non batch-padding) rows
+    Pixels travel host->device as uint8 with per-row (h, w) extents —
+    4x less transfer than normalized float32 and ~1.3x less again vs a bool
+    mask plane (validity is always a top-left rectangle). Normalization,
+    mask construction, and zeroing of padding happen on device inside the
+    extractor's jitted program. ``pixels``/``mask`` properties materialize
+    the old host-side float32 views for tests and host-side consumers.
+    """
+
+    pixels_u8: np.ndarray  # [B, H, W, 3] uint8, raw resized, zero-padded
+    sizes: np.ndarray      # [B, 2] int32 valid (h, w); (0, 0) = batch-pad row
+    indices: np.ndarray    # [B] int — positions in the original image list
+    valid: int             # number of real (non batch-padding) rows
+
+    @property
+    def mask(self) -> np.ndarray:
+        B, H, W, _ = self.pixels_u8.shape
+        m = np.zeros((B, H, W), bool)
+        for r, (h, w) in enumerate(np.asarray(self.sizes)):
+            m[r, :h, :w] = True
+        return m
+
+    @property
+    def pixels(self) -> np.ndarray:
+        """Normalized float32 view with zeroed padding (legacy semantics)."""
+        x = self.pixels_u8.astype(np.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        return x * self.mask[..., None]
 
 
 ImageSource = Union[str, np.ndarray]
@@ -141,22 +164,22 @@ def make_batches_native(
             chunk_paths = [paths[i] for i in chunk]
             chunk_bbxs = None if bbxs is None else [bbxs[i] for i in chunk]
             size = image_size if not squarify else max(H, W)
-            pixels_v, sizes = preprocess_batch_native(
+            pixels_v, sizes_v = preprocess_batch_native(
                 chunk_paths, size, H, W, bbxs=chunk_bbxs, nthreads=nthreads,
                 upscale=upscale,
             )
             B = batch_size
-            pixels = np.zeros((B, H, W, 3), np.float32)
-            pixels[: len(chunk)] = pixels_v
-            mask = np.zeros((B, H, W), bool)
+            pixels_u8 = np.zeros((B, H, W, 3), np.uint8)
+            pixels_u8[: len(chunk)] = pixels_v
+            sizes = np.zeros((B, 2), np.int32)
+            sizes[: len(chunk)] = sizes_v
             for row in range(len(chunk)):
                 h, w = sizes[row]
                 if h == 0 or w == 0:
                     raise IOError(f"failed to decode {chunk_paths[row]}")
-                mask[row, :h, :w] = True
             yield ImageBatch(
-                pixels=pixels,
-                mask=mask,
+                pixels_u8=pixels_u8,
+                sizes=sizes,
                 indices=np.asarray(chunk, dtype=np.int64),
                 valid=len(chunk),
             )
@@ -211,8 +234,8 @@ def make_batches(
         for s in range(0, len(members), batch_size):
             chunk = members[s : s + batch_size]
             B = batch_size
-            pixels = np.zeros((B, H, W, 3), dtype=np.float32)
-            mask = np.zeros((B, H, W), dtype=bool)
+            pixels_u8 = np.zeros((B, H, W, 3), dtype=np.uint8)
+            sizes = np.zeros((B, 2), dtype=np.int32)
             for row, gi in enumerate(chunk):
                 img = resized[gi]
                 h, w = img.shape[:2]
@@ -222,11 +245,13 @@ def make_batches(
                     pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
                     img = np.asarray(pil.resize((W, H), Image.BILINEAR), np.float32) / 255.0
                     h, w = H, W
-                pixels[row, :h, :w] = normalize_images(img)
-                mask[row, :h, :w] = True
+                pixels_u8[row, :h, :w] = np.clip(
+                    np.round(img * 255.0), 0, 255
+                ).astype(np.uint8)
+                sizes[row] = (h, w)
             yield ImageBatch(
-                pixels=pixels,
-                mask=mask,
+                pixels_u8=pixels_u8,
+                sizes=sizes,
                 indices=np.asarray(chunk, dtype=np.int64),
                 valid=len(chunk),
             )

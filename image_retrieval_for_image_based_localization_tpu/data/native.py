@@ -62,6 +62,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    lib.irtpu_preprocess_batch_u8.restype = ctypes.c_int
+    lib.irtpu_preprocess_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -82,14 +94,15 @@ def preprocess_batch_native(
     """Decode+resize+normalize ``paths`` into a padded batch.
 
     ``upscale=False`` = reference thumbnail semantics (shrink-only).
-    Returns (pixels [n, out_h, out_w, 3] float32, sizes [n, 2] int32 valid
-    h/w — (0, 0) marks a failed decode).
+    Returns (pixels [n, out_h, out_w, 3] uint8 RAW — normalization happens
+    on device, see data.images.ImageBatch — and sizes [n, 2] int32 valid
+    h/w; (0, 0) marks a failed decode).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native preproc library unavailable; build native/")
     n = len(paths)
-    out = np.zeros((n, out_h, out_w, 3), np.float32)
+    out = np.zeros((n, out_h, out_w, 3), np.uint8)
     sizes = np.zeros((n, 2), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     bbx_arr = None
@@ -101,11 +114,11 @@ def preprocess_batch_native(
         bbx_ptr = bbx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     if nthreads <= 0:
         nthreads = min(n, os.cpu_count() or 4)
-    lib.irtpu_preprocess_batch(
+    lib.irtpu_preprocess_batch_u8(
         c_paths,
         n,
         image_size if upscale else -image_size,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         out_h,
         out_w,
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

@@ -129,6 +129,36 @@ Image decode_file(const char* path) {
 const float kMean[3] = {0.485f, 0.456f, 0.406f};
 const float kStd[3] = {0.229f, 0.224f, 0.225f};
 
+// Raw uint8 variant: resized pixels only — normalization happens on device
+// (shipping uint8 is 4x less host->device traffic than normalized f32).
+void resize_into_u8(const Image& img, int nh, int nw, uint8_t* out,
+                    int out_h, int out_w) {
+  const float sy = float(img.h) / nh;
+  const float sx = float(img.w) / nw;
+  for (int y = 0; y < nh; y++) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = std::max(0, std::min(img.h - 1, int(std::floor(fy))));
+    int y1 = std::min(img.h - 1, y0 + 1);
+    float wy = std::max(0.0f, std::min(1.0f, fy - y0));
+    for (int x = 0; x < nw; x++) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = std::max(0, std::min(img.w - 1, int(std::floor(fx))));
+      int x1 = std::min(img.w - 1, x0 + 1);
+      float wx = std::max(0.0f, std::min(1.0f, fx - x0));
+      uint8_t* o = out + (size_t(y) * out_w + x) * 3;
+      const uint8_t* p00 = img.rgb.data() + (size_t(y0) * img.w + x0) * 3;
+      const uint8_t* p01 = img.rgb.data() + (size_t(y0) * img.w + x1) * 3;
+      const uint8_t* p10 = img.rgb.data() + (size_t(y1) * img.w + x0) * 3;
+      const uint8_t* p11 = img.rgb.data() + (size_t(y1) * img.w + x1) * 3;
+      for (int c = 0; c < 3; c++) {
+        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        o[c] = uint8_t(std::lround(std::max(0.0f, std::min(255.0f, v))));
+      }
+    }
+  }
+}
+
 void resize_normalize_into(const Image& img, int nh, int nw, float* out,
                            int out_h, int out_w) {
   const float sy = float(img.h) / nh;
@@ -172,9 +202,9 @@ extern "C" {
 //   sizes:      [n, 2] int32 — receives each image's valid (h, w)
 //   bbx:        optional [n, 4] float (x0, y0, x1, y1) crop per image, or null
 //   returns:    number of successfully processed images
-int irtpu_preprocess_batch(const char** paths, int n, int image_size,
-                           float* out, int out_h, int out_w, int* sizes,
-                           const float* bbx, int nthreads) {
+static int process_batch(const char** paths, int n, int image_size,
+                         void* out, bool as_u8, int out_h, int out_w,
+                         int* sizes, const float* bbx, int nthreads) {
   const bool shrink_only = image_size < 0;
   if (shrink_only) image_size = -image_size;
   std::atomic<int> next(0), ok(0);
@@ -211,8 +241,16 @@ int irtpu_preprocess_batch(const char** paths, int n, int image_size,
       }
       nh = std::min(nh, out_h);
       nw = std::min(nw, out_w);
-      resize_normalize_into(img, nh, nw,
-                            out + size_t(i) * out_h * out_w * 3, out_h, out_w);
+      if (as_u8) {
+        resize_into_u8(img, nh, nw,
+                       static_cast<uint8_t*>(out) + size_t(i) * out_h * out_w * 3,
+                       out_h, out_w);
+      } else {
+        resize_normalize_into(
+            img, nh, nw,
+            static_cast<float*>(out) + size_t(i) * out_h * out_w * 3,
+            out_h, out_w);
+      }
       sizes[i * 2] = nh;
       sizes[i * 2 + 1] = nw;
       ok.fetch_add(1);
@@ -224,6 +262,21 @@ int irtpu_preprocess_batch(const char** paths, int n, int image_size,
   for (int t = 0; t < nt; t++) threads.emplace_back(work);
   for (auto& t : threads) t.join();
   return ok.load();
+}
+
+int irtpu_preprocess_batch(const char** paths, int n, int image_size,
+                           float* out, int out_h, int out_w, int* sizes,
+                           const float* bbx, int nthreads) {
+  return process_batch(paths, n, image_size, out, /*as_u8=*/false, out_h,
+                       out_w, sizes, bbx, nthreads);
+}
+
+// uint8 variant: raw resized pixels, no normalization (done on device).
+int irtpu_preprocess_batch_u8(const char** paths, int n, int image_size,
+                              unsigned char* out, int out_h, int out_w,
+                              int* sizes, const float* bbx, int nthreads) {
+  return process_batch(paths, n, image_size, out, /*as_u8=*/true, out_h,
+                       out_w, sizes, bbx, nthreads);
 }
 
 // Probe decoded dimensions without full preprocessing (for bucketing).

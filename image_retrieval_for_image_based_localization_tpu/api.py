@@ -266,6 +266,9 @@ class Extractor:
                 squarify=cfg.squarify,
                 upscale=cfg.upscale,
             )
+        # NOTE: uploading from the prefetch thread (device_put inside the
+        # producer) was measured 3x SLOWER through this rig's relay client
+        # (thread contention); uploads stay on the main thread.
         pending = []  # (device descs future, host indices) — drain lazily
         for batch in _prefetched(batches, prefetch):
             descs = self._forward_u8(

@@ -161,3 +161,17 @@ def test_localization_pairs_output(tmp_path):
     assert len(lines) == 10
     assert lines[0].split() == ["q/a.jpg", "db/003.jpg"]
     assert lines[5].split() == ["q/b.jpg", "db/007.jpg"]
+
+
+def test_u8_entry_matches_float_entry():
+    """extract()'s uint8 device path == the float/mask path, bitwise-close."""
+    from irtpu.data.images import make_batches
+
+    ex = Extractor(CFG)
+    imgs = synth_images(3, seed=14)
+    (batch,) = list(make_batches(imgs, image_size=64, batch_size=4))
+    d_float = ex(batch.pixels, batch.mask)           # float entry
+    d_u8 = ex.extract(imgs)                          # u8 device entry
+    np.testing.assert_allclose(
+        d_u8[batch.indices], d_float[: len(batch.indices)], rtol=1e-4, atol=1e-5
+    )

@@ -163,14 +163,27 @@ class RetrievalNet(nn.Module):
                     )
                 else:
                     p = self.gem_p
-                if self.use_pallas and fmask is None:
+                if self.use_pallas:
+                    # fused Pallas head; the masked variant requires the
+                    # top-left-rectangle validity this framework's bucketing
+                    # produces (arbitrary masks: set use_pallas=False)
                     from image_retrieval_for_image_based_localization_tpu.ops.pallas import (
                         gem_l2n_fused,
+                        gem_l2n_fused_rect,
                     )
 
-                    pooled = gem_l2n_fused(feats, p)
+                    if fmask is None:
+                        desc = gem_l2n_fused(feats, p)
+                    else:
+                        sizes = jnp.stack(
+                            [
+                                jnp.sum(jnp.any(fmask, axis=2), axis=1),
+                                jnp.sum(jnp.any(fmask, axis=1), axis=1),
+                            ],
+                            axis=1,
+                        ).astype(jnp.int32)
+                        desc = gem_l2n_fused_rect(feats, p, sizes)
                     # fused kernel already L2-normalizes; skip head norm below
-                    desc = pooled
                     if self.whiten_dim is not None:
                         desc = nn.Dense(self.whiten_dim, name="whiten")(desc)
                         desc = l2n(desc)

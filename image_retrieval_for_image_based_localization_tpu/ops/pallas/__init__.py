@@ -8,6 +8,7 @@ CPU-runnable.
 
 from image_retrieval_for_image_based_localization_tpu.ops.pallas.gem_l2n import (  # noqa: F401
     gem_l2n_fused,
+    gem_l2n_fused_rect,
 )
 from image_retrieval_for_image_based_localization_tpu.ops.pallas.netvlad_kernel import (  # noqa: F401
     netvlad_fused,

@@ -58,6 +58,36 @@ def _kernel(p_ref, x_ref, out_ref, acc_ref, *, n_chunks: int, n_total: int, chun
         out_ref[i, :] = pooled / (norm + L2N_EPS)
 
 
+def _kernel_rect(
+    p_ref, sz_ref, x_ref, out_ref, acc_ref, *, n_chunks: int, chunk: int, W: int
+):
+    """Masked variant: per-image valid region is the top-left (h, w)
+    rectangle (the invariant of this framework's bucketed batches); extents
+    live in SMEM and the validity test is two iota compares per element."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[0]
+    h = sz_ref[i, 0]
+    w = sz_ref[i, 1]
+    x = x_ref[0].astype(jnp.float32)            # [chunk, C]
+    n = j * chunk + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    valid = ((n // W) < h) & ((n % W) < w)
+    xp = jnp.where(valid, jnp.power(jnp.clip(x, min=GEM_EPS), p), 0.0)
+    acc_ref[...] += jnp.sum(xp, axis=0, keepdims=True)
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        denom = jnp.maximum(h * w, 1).astype(jnp.float32)
+        pooled = jnp.power(acc_ref[0] / denom, 1.0 / p)
+        norm = jnp.sqrt(jnp.sum(pooled * pooled))
+        out_ref[i, :] = pooled / (norm + L2N_EPS)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def gem_l2n_fused(
     feats: jnp.ndarray,
@@ -97,3 +127,49 @@ def gem_l2n_fused(
         interpret=interpret,
     )(p_arr, feats)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def gem_l2n_fused_rect(
+    feats: jnp.ndarray,
+    p: jnp.ndarray | float,
+    sizes: jnp.ndarray,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Masked fused ``l2n(gem(feats, p, mask))`` for rectangle-valid batches.
+
+    feats: [B, H, W, C]; sizes: [B, 2] int32 valid (h, w) per image — the
+    top-left-rectangle validity this framework's bucketing guarantees
+    (arbitrary masks must use the XLA oracle ``ops.pooling.gem``).
+    """
+    B, H, W, C = feats.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = H * W
+    feats = feats.reshape(B, N, C)
+    chunk = min(chunk, max(8, -(-N // 8) * 8))
+    chunk = -(-chunk // 8) * 8
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+
+    p_arr = jnp.asarray(p, jnp.float32).reshape(1)
+    sizes = jnp.asarray(sizes, jnp.int32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_rect, n_chunks=n_chunks, chunk=chunk, W=W),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, chunk, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((B, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, C), jnp.float32)],
+        interpret=interpret,
+    )(p_arr, sizes, feats)

@@ -111,3 +111,38 @@ def test_pallas_topk_search_ties():
     s, i = pallas_topk_search(jnp.asarray(g), jnp.asarray(q), k=50, interpret=True)
     want = np.argsort(-(q @ g.T), axis=1, kind="stable")[:, :50]
     np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_gem_l2n_fused_rect_matches_masked_oracle():
+    from irtpu.ops.pallas import gem_l2n_fused_rect
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(3, 8, 12, 128).astype(np.float32)
+    sizes = np.array([[8, 12], [5, 7], [2, 12]], np.int32)
+    got = np.asarray(
+        gem_l2n_fused_rect(jnp.asarray(x), 3.0, jnp.asarray(sizes), chunk=32,
+                           interpret=True)
+    )
+    mask = np.zeros((3, 8, 12), bool)
+    for r, (h, w) in enumerate(sizes):
+        mask[r, :h, :w] = True
+    want = np.asarray(l2n(gem(jnp.asarray(x), 3.0, mask=jnp.asarray(mask))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_model_pallas_masked_head_matches_oracle():
+    """RetrievalNet with use_pallas on a bucketed (rect-masked) batch."""
+    import jax
+    from irtpu.models import RetrievalNet
+
+    m_pallas = RetrievalNet(arch="resnet18", pooling="gem", use_pallas=True)
+    m_oracle = RetrievalNet(arch="resnet18", pooling="gem", use_pallas=False)
+    rng = np.random.RandomState(10)
+    x = rng.rand(2, 64, 96, 3).astype(np.float32)
+    mask = np.zeros((2, 64, 96), bool)
+    mask[0, :64, :96] = True
+    mask[1, :40, :64] = True
+    v = m_oracle.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    d1 = np.asarray(m_pallas.apply(v, jnp.asarray(x), mask=jnp.asarray(mask)))
+    d2 = np.asarray(m_oracle.apply(v, jnp.asarray(x), mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)

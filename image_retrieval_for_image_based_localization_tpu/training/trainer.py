@@ -122,6 +122,11 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
 ):
     """Build the jitted train step. With a mesh, batch is sharded over 'data'."""
+    if model.use_pallas:
+        raise ValueError(
+            "training requires use_pallas=False: the fused inference kernels "
+            "define no custom VJP (the XLA head is used for gradients)"
+        )
 
     def step_fn(state: TrainState, pixels, labels):
         (loss, new_stats), grads = jax.value_and_grad(

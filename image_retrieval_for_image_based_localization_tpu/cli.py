@@ -152,8 +152,13 @@ def cmd_train(argv):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--resume", default=None,
                    help="checkpoint dir to resume from (loads 'latest')")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize trunk activations in backward "
+                        "(enables large tuple batches at 1024px)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the generated synthetic corpus (offline mode)")
+    p.add_argument("--synth-scenes", type=int, default=12)
+    p.add_argument("--synth-views", type=int, default=4)
     p.add_argument("--data-root", default="/tmp/irtpu_data")
     args = p.parse_args(argv)
 

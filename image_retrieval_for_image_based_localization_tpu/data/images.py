@@ -195,6 +195,15 @@ def _prepare_one(
         img = load_image(img, bbx=bbx)
     else:
         img = np.asarray(img, dtype=np.float32)
+        if img.size and img.min() < -0.05:
+            # ImageNet-normalized input would silently round-trip through
+            # uint8 as near-black garbage (negatives clip to 0) — the
+            # extractor normalizes on device and expects RAW pixels.
+            raise ValueError(
+                "array image has negative values — pass raw pixels in [0, 1] "
+                "or uint8 [0, 255], not mean/std-normalized arrays (the "
+                "extractor normalizes on device)"
+            )
         if img.max() > 1.5:  # uint8-range input
             img = img / 255.0
         if bbx is not None:

@@ -93,13 +93,15 @@ def scores_blockmax(
         interpret=interpret,
     )(queries, gallery)
 
-    bmax = jnp.max(scores.reshape(NQP, NGP // block, block), axis=-1)
     if pad_g:
-        # padded gallery rows must never win: mask scores and their blocks
+        # Padded gallery rows must never win. Mask them to NEG_INF BEFORE
+        # the block maxima: the block straddling the Ng boundary would
+        # otherwise carry pad scores of 0.0, which inflate its maximum when
+        # genuine scores are negative and can evict the true best block
+        # from stage-2 selection (mirrors knn.blockmax_topk's NEG_INF pad).
         col = jax.lax.broadcasted_iota(jnp.int32, (1, NGP), 1)
         scores = jnp.where(col < Ng, scores, NEG_INF)
-        bcol = jax.lax.broadcasted_iota(jnp.int32, (1, NGP // block), 1)
-        bmax = jnp.where(bcol * block < Ng, bmax, NEG_INF)
+    bmax = jnp.max(scores.reshape(NQP, NGP // block, block), axis=-1)
     return scores[:Nq], bmax[:Nq]
 
 

@@ -2,6 +2,22 @@
 training, validation, best/latest checkpointing (reference `train.py`,
 SURVEY.md §3.2).
 
+TPU-native data path (no whole-pool RAM, no shape churn):
+
+  * pool descriptors for mining / validation / post-train Lw come from
+    ``Extractor.extract(paths)`` — RAW pixels stream per-batch through the
+    same uint8 device pipeline serving does (the extractor normalizes on
+    device; never hand it normalized arrays);
+  * tuple batches are built per step from paths: each image is decoded,
+    max-side-resized to ``--image-size`` and placed into ONE static bucket
+    shape (header-probed global max, rounded to the trunk stride) as uint8
+    with its valid (h, w) extents — the train step normalizes and builds the
+    validity mask on device and the mask flows into mask-aware pooling;
+  * a small LRU keeps recently used resized images (tuples share pool
+    images heavily within an epoch); a prefetch thread keeps the device fed;
+  * the lr schedule decays per EPOCH (TrainConfig.steps_per_epoch), matching
+    the reference's ExponentialLR stepping.
+
 Offline mode (no network, SURVEY.md §0): trains on the synthetic scene
 corpus from ``data.test_datasets.make_synthetic_dataset`` — same machinery,
 stand-in data. With real retrieval-SfM-120k artifacts on disk the tuple
@@ -10,24 +26,25 @@ source swaps in transparently.
 
 from __future__ import annotations
 
+import collections
 import os
-from typing import List, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 
-from image_retrieval_for_image_based_localization_tpu.api import Extractor
+from image_retrieval_for_image_based_localization_tpu.api import Extractor, _prefetched
 from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
     RetrievalNet,
 )
 from image_retrieval_for_image_based_localization_tpu.training.mining import (
+    TupleSet,
     mine_hard_negatives,
 )
 from image_retrieval_for_image_based_localization_tpu.training.trainer import (
     TrainConfig,
     create_train_state,
     make_train_step,
-    train_epoch,
 )
 from image_retrieval_for_image_based_localization_tpu.utils.checkpoint import (
     save_checkpoint,
@@ -64,27 +81,7 @@ def _synthetic_pool(root: str, n_scenes=12, views=4, hw=(96, 128), seed=0):
     return paths, clusters, np.asarray(qidxs), np.asarray(pidxs), ds
 
 
-def _load_tuple_images(
-    paths: List[str], image_size: int, hw: Tuple[int, int]
-) -> np.ndarray:
-    """Load + square-resize tuple images to one static shape [T, H, W, C]."""
-    from image_retrieval_for_image_based_localization_tpu.data.images import (
-        load_image,
-        max_side_resize,
-        normalize_images,
-    )
-    from PIL import Image
-
-    out = np.zeros((len(paths), hw[0], hw[1], 3), np.float32)
-    for i, p in enumerate(paths):
-        img = max_side_resize(load_image(p), image_size)
-        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-        img = np.asarray(pil.resize((hw[1], hw[0]), Image.BILINEAR), np.float32) / 255.0
-        out[i] = normalize_images(img)
-    return out
-
-
-def _real_or_synthetic_pool(data_root: str):
+def _real_or_synthetic_pool(data_root: str, n_scenes: int = 12, views: int = 4):
     """Prefer a real retrieval-SfM-120k pickle under data_root; else the
     synthetic corpus (zero-egress environment, SURVEY.md §0)."""
     pkl = os.path.join(
@@ -97,8 +94,97 @@ def _real_or_synthetic_pool(data_root: str):
 
         ds = TuplesDataset.from_pickle(pkl, split="train")
         return ds.paths, ds.clusters, ds.qidxs, ds.pidxs, "retrieval-SfM-120k", None
-    paths, clusters, qidxs, pidxs, ds = _synthetic_pool(data_root)
+    paths, clusters, qidxs, pidxs, ds = _synthetic_pool(
+        data_root, n_scenes=n_scenes, views=views
+    )
     return paths, clusters, qidxs, pidxs, "synthetic", ds
+
+
+class _ResizedImageCache:
+    """LRU of max-side-resized uint8 images (tuples reuse pool images)."""
+
+    def __init__(self, paths: Sequence[str], image_size: int, capacity: int = 256):
+        self.paths = paths
+        self.image_size = image_size
+        self._lru: "collections.OrderedDict[int, np.ndarray]" = collections.OrderedDict()
+        self.capacity = capacity
+
+    def get(self, idx: int) -> np.ndarray:
+        """uint8 HWC, max side == image_size (shrink or grow)."""
+        hit = self._lru.get(idx)
+        if hit is not None:
+            self._lru.move_to_end(idx)
+            return hit
+        from image_retrieval_for_image_based_localization_tpu.data.images import (
+            load_image,
+            max_side_resize,
+        )
+
+        img = max_side_resize(load_image(self.paths[idx]), self.image_size)
+        u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        self._lru[idx] = u8
+        if len(self._lru) > self.capacity:
+            self._lru.popitem(last=False)
+        return u8
+
+
+def probe_bucket_shape(
+    paths: Sequence[str], image_size: int, multiple: int = 32
+) -> Tuple[int, int]:
+    """One static tuple-batch shape: the header-probed global max (h, w)
+    after max-side resize, rounded up to the trunk stride. A single shape
+    means a single train-step compilation for the whole run."""
+    from image_retrieval_for_image_based_localization_tpu.data.images import (
+        bucket_shape,
+        probe_size,
+    )
+
+    mh = mw = 1
+    for p in paths:
+        h, w = probe_size(p)
+        m = max(h, w)
+        if m != image_size:
+            s = image_size / m
+            h, w = max(1, round(h * s)), max(1, round(w * s))
+        mh, mw = max(mh, h), max(mw, w)
+    return bucket_shape(mh, mw, multiple)
+
+
+def iter_tuple_batches(
+    cache: _ResizedImageCache,
+    tuples: TupleSet,
+    batch_tuples: int,
+    hw: Tuple[int, int],
+    order: Optional[np.ndarray] = None,
+) -> Iterable[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (pixels_u8 [B,T,H,W,3], sizes [B,T,2], labels [B,T]) batches.
+
+    Images are decoded lazily per batch (LRU-cached) — the pool never sits
+    in host RAM. Short tails are dropped (reference drops partial batches).
+    """
+    H, W = hw
+    n_neg = tuples.nidxs.shape[1]
+    T = 2 + n_neg
+    nq = len(tuples.qidxs)
+    if order is None:
+        order = np.arange(nq)
+    for s in range(0, nq, batch_tuples):
+        sel = order[s : s + batch_tuples]
+        if len(sel) < batch_tuples:
+            break
+        px = np.zeros((len(sel), T, H, W, 3), np.uint8)
+        sizes = np.zeros((len(sel), T, 2), np.int32)
+        labels = np.zeros((len(sel), T), np.int32)
+        labels[:, 1] = 1
+        labels[:, 2:] = -1
+        for r, ti in enumerate(sel):
+            members = [tuples.qidxs[ti], tuples.pidxs[ti], *tuples.nidxs[ti]]
+            for t, gi in enumerate(members):
+                img = cache.get(int(gi))
+                h, w = img.shape[:2]
+                px[r, t, :h, :w] = img
+                sizes[r, t] = (h, w)
+        yield px, sizes, labels
 
 
 def run_training(args) -> dict:
@@ -106,9 +192,19 @@ def run_training(args) -> dict:
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"), echo=True)
     model = RetrievalNet(arch=args.arch, pooling=args.pooling,
                          whiten_dim=args.whiten_dim)
+
+    paths, clusters, qidxs, pidxs, source, val_ds = _real_or_synthetic_pool(
+        args.data_root,
+        n_scenes=getattr(args, "synth_scenes", 12),
+        views=getattr(args, "synth_views", 4),
+    )
+    logger.log(event="pool", source=source, images=len(paths), pairs=len(qidxs))
+
+    steps_per_epoch = max(len(qidxs) // args.batch_tuples, 1)
     cfg = TrainConfig(
         loss=args.loss, margin=args.margin, lr=args.lr, n_neg=args.n_neg,
-        batch_tuples=args.batch_tuples,
+        batch_tuples=args.batch_tuples, steps_per_epoch=steps_per_epoch,
+        remat=getattr(args, "remat", False),
     )
     state, tx = create_train_state(model, jax.random.PRNGKey(0), cfg=cfg)
     start_epoch = 0
@@ -127,53 +223,52 @@ def run_training(args) -> dict:
         )
         start_epoch = int(meta.get("epoch", -1)) + 1 if meta else 0
         logger.log(event="resumed", from_dir=args.resume, start_epoch=start_epoch)
-    train_step = make_train_step(model, tx, cfg)
+    train_step = make_train_step(model, tx, cfg, from_u8=True)
 
-    paths, clusters, qidxs, pidxs, source, val_ds = _real_or_synthetic_pool(args.data_root)
-    logger.log(event="pool", source=source, images=len(paths), pairs=len(qidxs))
-    hw = (96, 128)
-    images = _load_tuple_images(paths, args.image_size, hw)
+    tuple_hw = probe_bucket_shape(paths, args.image_size)
+    cache = _ResizedImageCache(paths, args.image_size)
+    logger.log(event="tuple_bucket", h=tuple_hw[0], w=tuple_hw[1],
+               steps_per_epoch=steps_per_epoch)
 
     ex_cfg = ExtractConfig(
         model=ModelConfig(arch=args.arch, pooling=args.pooling,
                           whiten_dim=args.whiten_dim),
-        image_size=args.image_size, batch_size=8, squarify=True,
+        image_size=args.image_size,
+        batch_size=getattr(args, "batch_size", 8),
     )
+
+    def extractor():
+        return Extractor(ex_cfg, variables={
+            "params": state.params, "batch_stats": state.batch_stats,
+        })
+
+    import jax.numpy as jnp
 
     best_loss = float("inf")
     for epoch in range(start_epoch, args.epochs):
         meta = {"arch": args.arch, "pooling": args.pooling,
                 "whiten_dim": args.whiten_dim, "loss": args.loss,
                 "epoch": epoch}
-        # 1. re-mine hard negatives with the current model (SURVEY.md §3.5)
-        ext = Extractor(ex_cfg, variables={
-            "params": state.params, "batch_stats": state.batch_stats,
-        })
-        pool_vecs = ext.extract([images[i] for i in range(len(paths))])
+        # 1. re-mine hard negatives with the current model (SURVEY.md §3.5):
+        # pool descriptors stream from paths through the uint8 device pipeline
+        pool_vecs = extractor().extract(paths)
         tuples = mine_hard_negatives(
-            pool_vecs, qidxs, pidxs, clusters=clusters, n_neg=cfg.n_neg
+            pool_vecs, qidxs, pidxs, clusters=clusters, n_neg=cfg.n_neg,
+            seed=epoch,
         )
 
-        # 2. batched tuple training
-        T = 2 + cfg.n_neg
+        # 2. batched tuple training — one static shape, prefetch-fed
         order = np.random.RandomState(epoch).permutation(len(qidxs))
-        batches = []
-        for s in range(0, len(order), cfg.batch_tuples):
-            sel = order[s : s + cfg.batch_tuples]
-            if len(sel) < cfg.batch_tuples:
-                break
-            px = np.zeros((len(sel), T, hw[0], hw[1], 3), np.float32)
-            labels = np.zeros((len(sel), T), np.int32)
-            labels[:, 1] = 1
-            labels[:, 2:] = -1
-            for r, ti in enumerate(sel):
-                px[r, 0] = images[tuples.qidxs[ti]]
-                px[r, 1] = images[tuples.pidxs[ti]]
-                for nn, ni in enumerate(tuples.nidxs[ti]):
-                    px[r, 2 + nn] = images[ni]
-            batches.append((px, labels))
-
-        state, mean_loss = train_epoch(state, train_step, batches)
+        losses = []
+        batches = iter_tuple_batches(
+            cache, tuples, cfg.batch_tuples, tuple_hw, order=order
+        )
+        for px, sizes, labels in _prefetched(batches, 2):
+            state, loss = train_step(
+                state, jnp.asarray(px), jnp.asarray(sizes), jnp.asarray(labels)
+            )
+            losses.append(float(loss))
+        mean_loss = float(np.mean(losses)) if losses else 0.0
         logger.log(epoch=epoch, train_loss=mean_loss)
 
         # per-epoch retrieval validation (cirtorch evaluates test sets while
@@ -186,11 +281,9 @@ def run_training(args) -> dict:
                 full_ranks,
             )
 
-            ext = Extractor(ex_cfg, variables={
-                "params": state.params, "batch_stats": state.batch_stats,
-            })
-            db = ext.extract(val_ds.image_paths)
-            qd = ext.extract(val_ds.query_paths, bbxs=val_ds.query_bbxs)
+            ex = extractor()
+            db = ex.extract(val_ds.image_paths)
+            qd = ex.extract(val_ds.query_paths, bbxs=val_ds.query_bbxs)
             res = compute_map_revisited(full_ranks(db, qd), val_ds.gnd)
             logger.log(epoch=epoch,
                        val_map_medium=float(res["medium"]["map"]))
@@ -205,10 +298,7 @@ def run_training(args) -> dict:
         whiten_learn,
     )
 
-    ext = Extractor(ex_cfg, variables={
-        "params": state.params, "batch_stats": state.batch_stats,
-    })
-    pool_vecs = ext.extract([images[i] for i in range(len(paths))])
+    pool_vecs = extractor().extract(paths)
     m, P = whiten_learn(pool_vecs, qidxs, pidxs)
     np.savez(
         os.path.join(args.out_dir, "whitening.npz"),

@@ -39,6 +39,7 @@ def mine_hard_negatives(
     clusters: Optional[np.ndarray] = None,
     n_neg: int = 5,
     pool_topk: int = 200,
+    seed: int = 0,
 ) -> TupleSet:
     """Pick the hardest negatives per query from pool descriptors.
 
@@ -51,7 +52,10 @@ def mine_hard_negatives(
         the query itself and its positive are excluded.
       n_neg: negatives per query (reference default 5).
       pool_topk: how many nearest pool images to consider per query.
+      seed: RNG seed for the degenerate-pool random filler — seeded so
+        epochs are reproducible (pass the epoch number).
     """
+    rng = np.random.RandomState(seed)
     qidxs = np.asarray(qidxs)
     pidxs = np.asarray(pidxs)
     N = pool_vecs.shape[0]
@@ -80,7 +84,7 @@ def mine_hard_negatives(
             if len(picked) == n_neg:
                 break
         while len(picked) < n_neg:  # degenerate tiny pools: wrap with random
-            filler = np.random.randint(0, N)
+            filler = rng.randint(0, N)
             if filler != q and filler != pidxs[qi]:
                 picked.append(filler)
         nidxs[qi] = picked

@@ -39,7 +39,12 @@ class TrainConfig:
     loss: str = "contrastive"      # 'contrastive' | 'triplet'
     margin: float = 0.7
     lr: float = 1e-6               # reference default for fine-tuning
-    lr_decay: float = 0.99         # exponential per-epoch decay (reference: exp)
+    lr_decay: float = 0.99         # exponential PER-EPOCH decay (the
+    # reference steps ExponentialLR once per epoch; see steps_per_epoch)
+    steps_per_epoch: int = 1       # optimizer steps per epoch — the decay
+    # applies as lr * lr_decay ** (step // steps_per_epoch), so with the
+    # true per-epoch step count the schedule matches the reference instead
+    # of collapsing by orders of magnitude within one epoch
     weight_decay: float = 1e-6
     n_neg: int = 5
     batch_tuples: int = 5          # tuples per step
@@ -66,11 +71,13 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     if variables is None:
         variables = model.init(rng, jnp.zeros((1, *input_shape), jnp.float32))
+    spe = max(int(cfg.steps_per_epoch), 1)
     tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),
         optax.scale_by_schedule(
-            lambda step: -cfg.lr * (cfg.lr_decay ** (step.astype(jnp.float32)))
+            lambda step: -cfg.lr
+            * (cfg.lr_decay ** jnp.floor(step.astype(jnp.float32) / spe))
         ),
     )
     params = variables["params"]
@@ -85,21 +92,23 @@ def create_train_state(
     )
 
 
-def _loss_fn(model, cfg: TrainConfig, params, batch_stats, pixels, labels):
-    """pixels: [B, T, H, W, C]; labels: [B, T] (+1 pos / -1 neg / 0 query)."""
+def _loss_fn(model, cfg: TrainConfig, params, batch_stats, pixels, labels, mask=None):
+    """pixels: [B, T, H, W, C]; labels: [B, T] (+1 pos / -1 neg / 0 query);
+    mask: optional [B, T, H, W] pixel-validity for padded bucket shapes."""
     B, T, H, W, C = pixels.shape
     flat = pixels.reshape(B * T, H, W, C)
+    fmask = None if mask is None else mask.reshape(B * T, H, W)
     mutable = ["batch_stats"] if batch_stats else []
 
-    def fwd(params, batch_stats, flat):
+    def fwd(params, batch_stats, flat, fmask):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        return model.apply(variables, flat, train=True, mutable=mutable)
+        return model.apply(variables, flat, mask=fmask, train=True, mutable=mutable)
 
     if cfg.remat:
         fwd = jax.checkpoint(fwd)
-    out = fwd(params, batch_stats, flat)
+    out = fwd(params, batch_stats, flat, fmask)
     if mutable:
         desc, updates = out
         new_stats = updates["batch_stats"]
@@ -120,18 +129,29 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig = TrainConfig(),
     mesh: Optional[jax.sharding.Mesh] = None,
+    from_u8: bool = False,
 ):
-    """Build the jitted train step. With a mesh, batch is sharded over 'data'."""
-    if model.use_pallas:
+    """Build the jitted train step. With a mesh, batch is sharded over 'data'.
+
+    ``from_u8=True`` builds the production tuple path: the step takes
+    ``(state, pixels_u8 [B,T,H,W,3] uint8, sizes [B,T,2] int32, labels)`` —
+    raw resized pixels travel host→device as uint8 (4x less transfer);
+    ImageNet normalization, validity-mask construction, and pad zeroing run
+    on device, and the mask flows into the mask-aware pooling so padded
+    bucket rows train on exactly the valid pixels. (Caveat shared with any
+    padded conv batch: BatchNorm train-mode statistics still see the zeroed
+    padding — bucketed shapes keep that bias small; the reference trains
+    bs=1 exact shapes where the issue doesn't arise.)
+    """
+
+    if model.use_pallas and model.pooling != "gem":
         raise ValueError(
-            "training requires use_pallas=False: the fused inference kernels "
-            "define no custom VJP (the XLA head is used for gradients)"
+            "training with use_pallas=True is only supported for GeM pooling "
+            "(gem_l2n_fused defines a custom VJP); the fused NetVLAD kernel "
+            "has no VJP — use use_pallas=False for training"
         )
 
-    def step_fn(state: TrainState, pixels, labels):
-        (loss, new_stats), grads = jax.value_and_grad(
-            functools.partial(_loss_fn, model, cfg), has_aux=True
-        )(state.params, state.batch_stats, pixels, labels)
+    def apply_updates(state, loss, new_stats, grads):
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
@@ -143,6 +163,49 @@ def make_train_step(
             ),
             loss,
         )
+
+    if from_u8:
+        from image_retrieval_for_image_based_localization_tpu.data.images import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+        def step_fn(state: TrainState, pixels_u8, sizes, labels):
+            B, T, H, W, _ = pixels_u8.shape
+            row = jax.lax.broadcasted_iota(jnp.int32, (B, T, H, W), 2)
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, T, H, W), 3)
+            mask = (row < sizes[..., 0, None, None]) & (
+                col < sizes[..., 1, None, None]
+            )
+            x = pixels_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            x = x * mask[..., None]
+            (loss, new_stats), grads = jax.value_and_grad(
+                functools.partial(_loss_fn, model, cfg), has_aux=True
+            )(state.params, state.batch_stats, x, labels, mask=mask)
+            return apply_updates(state, loss, new_stats, grads)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            return jax.jit(
+                step_fn,
+                in_shardings=(None, data, data, data),
+                out_shardings=(None, rep),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def step_fn(state: TrainState, pixels, labels):
+        (loss, new_stats), grads = jax.value_and_grad(
+            functools.partial(_loss_fn, model, cfg), has_aux=True
+        )(state.params, state.batch_stats, pixels, labels)
+        return apply_updates(state, loss, new_stats, grads)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

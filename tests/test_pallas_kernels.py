@@ -33,6 +33,54 @@ def test_gem_l2n_fused_learnable_p_array():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
+def test_gem_l2n_fused_grad_matches_xla_head():
+    """custom VJP: grads of the fused kernel == grads of l2n(gem(.))."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, 6, 7, 128).astype(np.float32))
+    p = jnp.asarray(3.0, jnp.float32)
+    # scalar losses so we can compare full gradients
+    w = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+
+    def loss_fused(x, p):
+        return jnp.sum(gem_l2n_fused(x, p, interpret=True) * w)
+
+    def loss_oracle(x, p):
+        return jnp.sum(l2n(gem(x, p)) * w)
+
+    (dx_f, dp_f) = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    (dx_o, dp_o) = jax.grad(loss_oracle, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_o), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(dp_f), float(dp_o), rtol=1e-4, atol=1e-6)
+
+
+def test_gem_l2n_fused_rect_grad_matches_masked_oracle():
+    import jax
+    from irtpu.ops.pallas import gem_l2n_fused_rect
+
+    rng = np.random.RandomState(12)
+    B, H, W, C = 3, 6, 8, 128
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    sizes = jnp.asarray([[6, 8], [4, 5], [3, 8]], jnp.int32)
+    p = jnp.asarray(2.5, jnp.float32)
+    wv = jnp.asarray(rng.randn(B, C).astype(np.float32))
+    mask = np.zeros((B, H, W), bool)
+    for i, (h, w) in enumerate(np.asarray(sizes)):
+        mask[i, :h, :w] = True
+
+    def loss_fused(x, p):
+        return jnp.sum(gem_l2n_fused_rect(x, p, sizes, interpret=True) * wv)
+
+    def loss_oracle(x, p):
+        return jnp.sum(l2n(gem(x, p, mask=jnp.asarray(mask))) * wv)
+
+    (dx_f, dp_f) = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    (dx_o, dp_o) = jax.grad(loss_oracle, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_o), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(dp_f), float(dp_o), rtol=1e-4, atol=1e-6)
+
+
 def test_netvlad_fused_matches_oracle():
     rng = np.random.RandomState(3)
     B, N, C, K = 2, 96, 128, 8
@@ -111,6 +159,23 @@ def test_pallas_topk_search_ties():
     s, i = pallas_topk_search(jnp.asarray(g), jnp.asarray(q), k=50, interpret=True)
     want = np.argsort(-(q @ g.T), axis=1, kind="stable")[:, :50]
     np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_pallas_topk_search_all_negative_scores_with_pad():
+    """Regression: the block straddling the Ng boundary used to keep pad
+    scores of 0.0 in its block maximum; with all-negative genuine scores the
+    inflated max evicted the true best blocks from stage-2 selection."""
+    from irtpu.ops.pallas.score_topk import pallas_topk_search
+
+    rng = np.random.RandomState(8)
+    # all-positive queries x all-negative gallery -> every score negative;
+    # Ng=1000 pads to 1024 (ch=512), so block 15 straddles the boundary
+    g = -np.abs(rng.randn(1000, 64)).astype(np.float32) - 0.1
+    q = np.abs(rng.randn(5, 64)).astype(np.float32) + 0.1
+    s, i = pallas_topk_search(jnp.asarray(g), jnp.asarray(q), k=8, interpret=True)
+    want = np.argsort(-(q @ g.T), axis=1, kind="stable")[:, :8]
+    np.testing.assert_array_equal(np.asarray(i), want)
+    assert (np.asarray(s) < 0).all()
 
 
 def test_gem_l2n_fused_rect_matches_masked_oracle():

@@ -111,6 +111,78 @@ class TestTrainStep:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4, atol=1e-6)
 
 
+def test_train_step_use_pallas_matches_xla_head():
+    """With the custom VJP, use_pallas=True trains and matches the XLA head."""
+
+    def setup(use_pallas):
+        model = RetrievalNet(arch="resnet18", pooling="gem", use_pallas=use_pallas)
+        cfg = TrainConfig(n_neg=1, lr=1e-3)
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+        )
+        return state, make_train_step(model, tx, cfg)
+
+    rng = np.random.RandomState(5)
+    pixels = jnp.asarray(rng.rand(2, 3, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+    s_p, step_p = setup(True)
+    s_x, step_x = setup(False)
+    s_p, l_p = step_p(s_p, pixels, labels)
+    s_x, l_x = step_x(s_x, pixels, labels)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_p.params), jax.tree.leaves(s_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_from_u8_masked():
+    """uint8+sizes tuple path: on-device normalize + mask-aware pooling."""
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    cfg = TrainConfig(n_neg=1, lr=1e-3)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+    )
+    step = make_train_step(model, tx, cfg, from_u8=True)
+    rng = np.random.RandomState(6)
+    px = (rng.rand(2, 3, 32, 32, 3) * 255).astype(np.uint8)
+    sizes = np.tile(np.array([[32, 32], [24, 32], [32, 16]], np.int32), (2, 1, 1))
+    # zero padding beyond valid extents (builder invariant)
+    for b in range(2):
+        for t in range(3):
+            h, w = sizes[b, t]
+            px[b, t, h:, :] = 0
+            px[b, t, :, w:] = 0
+    labels = np.tile(np.array([[0, 1, -1]], np.int32), (2, 1))
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, jnp.asarray(px), jnp.asarray(sizes), jnp.asarray(labels))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+
+
+def test_lr_schedule_decays_per_epoch():
+    """lr_decay applies per epoch (steps_per_epoch), not per step."""
+    import optax
+
+    cfg = TrainConfig(lr=1.0, lr_decay=0.5, steps_per_epoch=3, weight_decay=0.0)
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+    )
+    # scale_by_schedule is the last element of the chain; probe it directly
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.ones(3)}
+    opt_state = tx.init(params)
+    scales = []
+    for _ in range(7):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        scales.append(float(-updates["w"][0]))
+    # Adam normalizes constant grads to ~1, so update magnitude tracks lr:
+    # steps 0-2 -> 1.0, steps 3-5 -> 0.5, step 6 -> 0.25
+    np.testing.assert_allclose(scales[0:3], [1.0] * 3, rtol=1e-3)
+    np.testing.assert_allclose(scales[3:6], [0.5] * 3, rtol=1e-3)
+    np.testing.assert_allclose(scales[6], 0.25, rtol=1e-3)
+
+
 def test_train_epoch_runs():
     model = RetrievalNet(arch="resnet18", pooling="gem")
     cfg = TrainConfig(n_neg=1, lr=1e-4)

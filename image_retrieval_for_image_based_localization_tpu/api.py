@@ -88,6 +88,16 @@ class Extractor:
             bs = -(-cfg.batch_size // ddim) * ddim
             if bs != cfg.batch_size:
                 cfg = _dc.replace(cfg, batch_size=bs)
+        if mc.pooling == "rmac" and not (cfg.squarify or cfg.exact):
+            # R-MAC's region grid is a function of the feature-map shape;
+            # bucketed padding would move the grid onto padded positions
+            # (regions then pool pad garbage). The reference runs exact
+            # shapes (bs=1); require the same here.
+            raise ValueError(
+                "pooling='rmac' requires exact feature shapes: set "
+                "ExtractConfig(exact=True) (reference bs=1 semantics) or "
+                "squarify=True — bucketed padding would corrupt the region grid"
+            )
         self.cfg = cfg
         self.model = RetrievalNet(
             arch=mc.arch,
@@ -243,6 +253,7 @@ class Extractor:
             )
 
             use_native = native_available() or cfg.native_preproc is True
+        bucket_multiple = 1 if cfg.exact else cfg.bucket_multiple
         if use_native:
             from image_retrieval_for_image_based_localization_tpu.data.images import (
                 make_batches_native,
@@ -252,19 +263,21 @@ class Extractor:
                 images,
                 image_size=cfg.image_size,
                 batch_size=cfg.batch_size,
-                bucket_multiple=cfg.bucket_multiple,
+                bucket_multiple=bucket_multiple,
                 bbxs=bbxs,
                 upscale=cfg.upscale,
+                resize_filter=cfg.resize_filter,
             )
         else:
             batches = make_batches(
                 images,
                 image_size=cfg.image_size,
                 batch_size=cfg.batch_size,
-                bucket_multiple=cfg.bucket_multiple,
+                bucket_multiple=bucket_multiple,
                 bbxs=bbxs,
                 squarify=cfg.squarify,
                 upscale=cfg.upscale,
+                resize_filter=cfg.resize_filter,
             )
         # NOTE: uploading from the prefetch thread (device_put inside the
         # producer) was measured 3x SLOWER through this rig's relay client

@@ -170,3 +170,76 @@ def run_graded_config(
     hit_core = float(np.mean(idx[:, 0] < core.shape[0]))
     logger.log(config=n, top1_in_core_fraction=hit_core)
     return {"config": cfg.name, "top1_in_core": hit_core}
+
+
+def measure_bucketing_delta(
+    arch: str = "resnet50",
+    image_size: int = 1024,
+    synth_root: str = "/tmp/irtpu_synth",
+    batch_size: int = 8,
+    variables: Optional[Dict] = None,
+    logger: Optional[MetricsLogger] = None,
+) -> Dict:
+    """Quantify the bucketed-padding vs exact-shape extraction delta.
+
+    Bucketed batches pad images inside their (stride-rounded) bucket; conv
+    features near the boundary see zeros even though pooling is masked, so
+    descriptors differ slightly from the reference's bs=1 exact-shape run
+    (SURVEY.md §7 "hard parts"). This harness measures the effect two ways:
+
+      1. mAP on the synthetic corpus: identical model/weights, bucketed vs
+         ``ExtractConfig(exact=True)`` extraction, medium-protocol mAP each.
+      2. descriptor agreement: per-image cosine between the two pipelines on
+         an aspect-varied stress set (worst-case bucket padding).
+
+    Numbers are logged and returned; PERF.md records the measured values.
+    """
+    import dataclasses
+
+    from image_retrieval_for_image_based_localization_tpu.evaluation.map import (
+        compute_map_revisited,
+    )
+    from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+        full_ranks,
+    )
+    from image_retrieval_for_image_based_localization_tpu.utils.config import (
+        ExtractConfig,
+        ModelConfig,
+    )
+
+    logger = logger or MetricsLogger(echo=True)
+    ds = make_synthetic_dataset(
+        synth_root, name="synth-delta", n_scenes=6, views_per_scene=4,
+        n_distractors=8, image_hw=(120, 160), seed=13,
+    )
+    cfg_b = ExtractConfig(
+        model=ModelConfig(arch=arch), image_size=image_size, batch_size=batch_size
+    )
+    cfg_e = dataclasses.replace(cfg_b, exact=True)
+    ex_b = Extractor(cfg_b, variables=variables)
+    ex_e = Extractor(cfg_e, variables=ex_b.variables)
+
+    results = {}
+    for name, ex in (("bucketed", ex_b), ("exact", ex_e)):
+        db = ex.extract(ds.image_paths)
+        qd = ex.extract(ds.query_paths, bbxs=ds.query_bbxs)
+        res = compute_map_revisited(full_ranks(db, qd), ds.gnd)
+        results[name] = float(res["medium"]["map"])
+        logger.log(event="bucketing_delta", mode=name, map_medium=results[name])
+    results["map_delta"] = results["bucketed"] - results["exact"]
+
+    # aspect-varied stress set: worst-case padding inside 32-multiples
+    rng = np.random.RandomState(0)
+    stress = [
+        rng.rand(h, w, 3).astype(np.float32)
+        for h, w in [(97, 257), (161, 99), (33, 129), (127, 65), (255, 161)]
+    ]
+    d_b = ex_b.extract(stress)
+    d_e = ex_e.extract(stress)
+    cos = np.sum(d_b * d_e, axis=1)
+    results["stress_cos_mean"] = float(cos.mean())
+    results["stress_cos_min"] = float(cos.min())
+    logger.log(event="bucketing_delta", map_delta=results["map_delta"],
+               stress_cos_mean=results["stress_cos_mean"],
+               stress_cos_min=results["stress_cos_min"])
+    return results

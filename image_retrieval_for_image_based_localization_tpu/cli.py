@@ -30,6 +30,15 @@ def _model_args(p: argparse.ArgumentParser):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--multiscale", action="store_true",
                    help="use the [1, 1/sqrt2, 1/2] pyramid")
+    p.add_argument("--exact", action="store_true",
+                   help="exact-shape extraction (no spatial padding; "
+                        "reference bs=1 semantics, one compile per shape)")
+    p.add_argument("--upscale", action="store_true",
+                   help="also grow small images to --image-size (default: "
+                        "shrink-only, reference thumbnail semantics)")
+    p.add_argument("--resize-filter", default="lanczos",
+                   choices=["lanczos", "bilinear"],
+                   help="host resize filter (lanczos = reference parity)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 trunk compute")
     p.add_argument("--pallas", action="store_true", help="use fused Pallas head")
     p.add_argument("--checkpoint", default=None,
@@ -54,6 +63,9 @@ def _build_extract_cfg(args):
         image_size=args.image_size,
         batch_size=args.batch_size,
         scales=DEFAULT_SCALES if args.multiscale else (1.0,),
+        exact=args.exact,
+        upscale=args.upscale,
+        resize_filter=args.resize_filter,
     )
 
 
@@ -104,6 +116,8 @@ def cmd_evaluate(argv):
     p.add_argument("--data-root", required=True)
     p.add_argument("--whitening", default="none", choices=["pca", "lw", "none"])
     p.add_argument("--whiten-dims", type=int, default=None)
+    p.add_argument("--strict-whitening", action="store_true",
+                   help="strict-reference PCA (no auto-shrinkage/floor)")
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--metrics-out", default=None)
@@ -133,6 +147,7 @@ def cmd_evaluate(argv):
         IndexConfig(
             whitening=None if args.whitening == "none" else args.whitening,
             whiten_dims=args.whiten_dims,
+            strict_whitening=args.strict_whitening,
         ),
         extractor=ex,
         logger=MetricsLogger(args.metrics_out, echo=True),
@@ -190,6 +205,30 @@ def cmd_synth(argv):
         n_distractors=args.distractors,
     )
     print(f"created {ds.name}: {ds.n} db images, {ds.nq} queries at {ds.images_dir}")
+
+
+def cmd_parity(argv):
+    p = argparse.ArgumentParser(prog="parity")
+    p.add_argument("--arch", default="resnet50")
+    p.add_argument("--image-size", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--synth-root", default="/tmp/irtpu_synth")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir or torch .pth for the model "
+                        "(random init without it — noisy deltas)")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.benchmarks import (
+        measure_bucketing_delta,
+    )
+
+    variables = _load_variables(args, None)
+    res = measure_bucketing_delta(
+        arch=args.arch, image_size=args.image_size,
+        batch_size=args.batch_size, synth_root=args.synth_root,
+        variables=variables,
+    )
+    print(res)
 
 
 def cmd_build_index(argv):
@@ -262,6 +301,7 @@ COMMANDS = {
     "train": cmd_train,
     "synth": cmd_synth,
     "config": cmd_config,
+    "parity": cmd_parity,
     "build-index": cmd_build_index,
     "query": cmd_query,
 }

@@ -38,11 +38,27 @@ def load_image(path: str, bbx: Optional[Tuple[float, float, float, float]] = Non
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
-def max_side_resize(img: np.ndarray, image_size: int, upscale: bool = True) -> np.ndarray:
-    """Resize so max(H, W) == image_size, preserving aspect (PIL bilinear).
+def _pil_filter(name: str):
+    from PIL import Image
 
-    The reference's ``imresize`` thumbnails (shrink-only, LANCZOS); we resize
-    both ways by default (upscale=False restores shrink-only semantics).
+    try:
+        return {"bilinear": Image.BILINEAR, "lanczos": Image.LANCZOS}[name]
+    except KeyError:
+        raise ValueError(f"unknown resize filter {name!r} (bilinear|lanczos)")
+
+
+def max_side_resize(
+    img: np.ndarray,
+    image_size: int,
+    upscale: bool = True,
+    resize_filter: str = "bilinear",
+) -> np.ndarray:
+    """Resize so max(H, W) == image_size, preserving aspect.
+
+    Reference parity: the reference's ``imresize`` thumbnails — shrink-only
+    LANCZOS (``upscale=False, resize_filter='lanczos'``; ``ExtractConfig``
+    defaults to exactly that). The function-level defaults keep the
+    round-1 behavior (bilinear, both ways) for direct callers.
     """
     from PIL import Image
 
@@ -53,7 +69,7 @@ def max_side_resize(img: np.ndarray, image_size: int, upscale: bool = True) -> n
     scale = image_size / m
     nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
     pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-    pil = pil.resize((nw, nh), Image.BILINEAR)
+    pil = pil.resize((nw, nh), _pil_filter(resize_filter))
     return np.asarray(pil, dtype=np.float32) / 255.0
 
 
@@ -122,6 +138,7 @@ def make_batches_native(
     squarify: bool = False,
     nthreads: int = 0,
     upscale: bool = True,
+    resize_filter: str = "bilinear",
 ) -> Iterable[ImageBatch]:
     """Path-input batching with the native C++ decode/resize/normalize.
 
@@ -166,7 +183,7 @@ def make_batches_native(
             size = image_size if not squarify else max(H, W)
             pixels_v, sizes_v = preprocess_batch_native(
                 chunk_paths, size, H, W, bbxs=chunk_bbxs, nthreads=nthreads,
-                upscale=upscale,
+                upscale=upscale, resize_filter=resize_filter,
             )
             B = batch_size
             pixels_u8 = np.zeros((B, H, W, 3), np.uint8)
@@ -190,6 +207,7 @@ def _prepare_one(
     image_size: int,
     bbx=None,
     upscale: bool = True,
+    resize_filter: str = "bilinear",
 ) -> np.ndarray:
     if isinstance(img, str):
         img = load_image(img, bbx=bbx)
@@ -209,7 +227,7 @@ def _prepare_one(
         if bbx is not None:
             x0, y0, x1, y1 = (int(round(v)) for v in bbx)
             img = img[y0:y1, x0:x1]
-    return max_side_resize(img, image_size, upscale=upscale)
+    return max_side_resize(img, image_size, upscale=upscale, resize_filter=resize_filter)
 
 
 def make_batches(
@@ -220,16 +238,23 @@ def make_batches(
     bbxs: Optional[Sequence] = None,
     squarify: bool = False,
     upscale: bool = True,
+    resize_filter: str = "bilinear",
 ) -> Iterable[ImageBatch]:
     """Group images into per-bucket static-shape batches.
 
     Two-pass: resize all (host), group by padded bucket shape, emit batches
     padded to ``batch_size`` rows so at most one compilation per bucket shape.
+    ``bucket_multiple=1`` gives exact shapes (no spatial padding).
     """
     resized: List[np.ndarray] = []
     for i, img in enumerate(images):
         bbx = bbxs[i] if bbxs is not None else None
-        resized.append(_prepare_one(img, image_size, bbx=bbx, upscale=upscale))
+        resized.append(
+            _prepare_one(
+                img, image_size, bbx=bbx, upscale=upscale,
+                resize_filter=resize_filter,
+            )
+        )
 
     buckets: dict[Tuple[int, int], List[int]] = {}
     for i, img in enumerate(resized):
@@ -252,7 +277,12 @@ def make_batches(
                     from PIL import Image
 
                     pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-                    img = np.asarray(pil.resize((W, H), Image.BILINEAR), np.float32) / 255.0
+                    img = (
+                        np.asarray(
+                            pil.resize((W, H), _pil_filter(resize_filter)), np.float32
+                        )
+                        / 255.0
+                    )
                     h, w = H, W
                 pixels_u8[row, :h, :w] = np.clip(
                     np.round(img * 255.0), 0, 255

@@ -30,26 +30,44 @@ _NATIVE_DIR = os.path.join(
 )
 
 
+_ABI_VERSION = 2  # must match irtpu_abi_version() in preproc.cpp
+
+
+def _make(force: bool = False) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"] + (["-B"] if force else []),
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
     so = os.path.join(_NATIVE_DIR, "libirtpu_preproc.so")
-    if not os.path.exists(so):
-        try:  # build on first use if the toolchain is present
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
+    if not os.path.exists(so) and not _make():
+        return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    # a stale prebuilt .so (older exported signatures) is rebuilt in place
+    if not hasattr(lib, "irtpu_abi_version") or lib.irtpu_abi_version() != _ABI_VERSION:
+        if not _make(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        if not hasattr(lib, "irtpu_abi_version") or lib.irtpu_abi_version() != _ABI_VERSION:
+            return None
     lib.irtpu_preprocess_batch.restype = ctypes.c_int
     lib.irtpu_preprocess_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -60,7 +78,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int,
+        ctypes.c_int,  # filter
+        ctypes.c_int,  # nthreads
     ]
     lib.irtpu_preprocess_batch_u8.restype = ctypes.c_int
     lib.irtpu_preprocess_batch_u8.argtypes = [
@@ -72,7 +91,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int,
+        ctypes.c_int,  # filter
+        ctypes.c_int,  # nthreads
     ]
     _LIB = lib
     return _LIB
@@ -90,13 +110,16 @@ def preprocess_batch_native(
     bbxs: Optional[Sequence] = None,
     nthreads: int = 0,
     upscale: bool = True,
+    resize_filter: str = "bilinear",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+resize+normalize ``paths`` into a padded batch.
 
-    ``upscale=False`` = reference thumbnail semantics (shrink-only).
-    Returns (pixels [n, out_h, out_w, 3] uint8 RAW — normalization happens
-    on device, see data.images.ImageBatch — and sizes [n, 2] int32 valid
-    h/w; (0, 0) marks a failed decode).
+    ``upscale=False`` = reference thumbnail semantics (shrink-only);
+    ``resize_filter='lanczos'`` = the reference's antialiased LANCZOS
+    (PIL-compatible coefficients, see preproc.cpp). Returns (pixels
+    [n, out_h, out_w, 3] uint8 RAW — normalization happens on device, see
+    data.images.ImageBatch — and sizes [n, 2] int32 valid h/w; (0, 0)
+    marks a failed decode).
     """
     lib = _load()
     if lib is None:
@@ -114,6 +137,10 @@ def preprocess_batch_native(
         bbx_ptr = bbx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     if nthreads <= 0:
         nthreads = min(n, os.cpu_count() or 4)
+    try:
+        filt = {"bilinear": 0, "lanczos": 1}[resize_filter]
+    except KeyError:
+        raise ValueError(f"unknown resize filter {resize_filter!r} (bilinear|lanczos)")
     lib.irtpu_preprocess_batch_u8(
         c_paths,
         n,
@@ -123,6 +150,7 @@ def preprocess_batch_native(
         out_w,
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         bbx_ptr,
+        filt,
         nthreads,
     )
     return out, sizes

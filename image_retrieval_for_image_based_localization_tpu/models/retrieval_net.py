@@ -194,7 +194,7 @@ class RetrievalNet(nn.Module):
             elif self.pooling == "spoc":
                 pooled = spoc(feats, mask=fmask)
             elif self.pooling == "rmac":
-                pooled = rmac(feats)
+                pooled = rmac(feats, mask=fmask)
             else:
                 raise ValueError(f"unknown pooling {self.pooling!r}")
             desc = l2n(pooled)

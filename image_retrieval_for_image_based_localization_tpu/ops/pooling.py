@@ -117,21 +117,44 @@ def rmac_regions(H: int, W: int, L: int = 3) -> list[tuple[int, int, int, int]]:
     return regions
 
 
-def rmac(x: jnp.ndarray, L: int = 3, eps: float = 1e-6) -> jnp.ndarray:
+def rmac(
+    x: jnp.ndarray,
+    L: int = 3,
+    eps: float = 1e-6,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Regional MAC. [B,H,W,C] -> [B,C].
 
     Full-image MAC (L2-normalized) plus L2-normalized regional MACs, summed.
     Regions are a static function of the (static) feature-map shape, so this
-    is fully jit-able. Mask-aware R-MAC is not supported: R-MAC callers must
-    use exact-size buckets (the reference runs bs=1 full-size anyway).
+    is fully jit-able.
+
+    With ``mask``, invalid positions are excluded from every regional max
+    and regions with no valid overlap contribute nothing — this prevents
+    padded positions from silently corrupting descriptors. NOTE: the region
+    GRID still comes from the padded shape, so masked R-MAC is not
+    reference-exact; for parity use exact shapes (``ExtractConfig(exact=
+    True)``, enforced by the Extractor), where the mask is trivially full.
     """
     from image_retrieval_for_image_based_localization_tpu.ops.normalization import l2n
 
     B, H, W, C = x.shape
-    v = l2n(jnp.max(x, axis=(1, 2)), eps=eps)
+    neg = jnp.finfo(x.dtype).min
+    if mask is not None:
+        x = jnp.where(mask[..., None], x, neg)
+
+    def region_vec(r, rm):
+        v = l2n(jnp.max(r, axis=(1, 2)), eps=eps)
+        if rm is None:
+            return v
+        any_valid = jnp.any(rm, axis=(1, 2))[:, None].astype(v.dtype)
+        return v * any_valid
+
+    v = region_vec(x, mask)
     for (yy, xx, hh, ww) in rmac_regions(H, W, L):
         r = x[:, yy : yy + hh, xx : xx + ww, :]
-        v = v + l2n(jnp.max(r, axis=(1, 2)), eps=eps)
+        rm = None if mask is None else mask[:, yy : yy + hh, xx : xx + ww]
+        v = v + region_vec(r, rm)
     return v
 
 

@@ -28,7 +28,9 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def pca_whiten_learn(X: np.ndarray, shrinkage: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+def pca_whiten_learn(
+    X: np.ndarray, shrinkage: float = 0.0, strict: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
     """Learn PCA-whitening from descriptors ``X [N, D]``. Returns ``(m, P)``.
 
     ``shrinkage`` blends the covariance toward its diagonal mean
@@ -37,11 +39,21 @@ def pca_whiten_learn(X: np.ndarray, shrinkage: float = 0.0) -> Tuple[np.ndarray,
     reference math is degenerate (rank-deficient covariance -> unbounded
     noise amplification), so shrinkage auto-engages at 0.1 — verified to be
     the difference between mAP 0.31 and 1.00 on a small synthetic gallery.
+
+    ``strict=True`` is the strict-reference mode: no auto-shrinkage and no
+    relative eigenvalue floor — exactly ``P = diag(eig^-1/2) @ V.T`` like
+    the reference's ``pcawhitenlearn`` (degenerate spectra then amplify
+    noise exactly as the reference would; only a 1e-300 absolute guard
+    prevents literal division by zero). Use for parity runs against ported
+    reference whitening so the deviation can never silently engage.
     """
     X = np.asarray(X)
     N, D = X.shape
-    if shrinkage == 0.0 and N < D:
+    if not strict and shrinkage == 0.0 and N < D:
         shrinkage = 0.1
+    floor = (lambda ev: np.maximum(ev, 1e-300)) if strict else (
+        lambda ev: np.maximum(ev, max(ev.max(), 0.0) * 1e-10 + 1e-300)
+    )
 
     if N < D:
         # Dual/SVD formulation: the covariance has rank <= N-1, and an eigh
@@ -57,9 +69,9 @@ def pca_whiten_learn(X: np.ndarray, shrinkage: float = 0.0) -> Tuple[np.ndarray,
         _, S, Vt = np.linalg.svd(Xc, full_matrices=False)
         eigval = (S ** 2) / N
         if shrinkage > 0.0:
-            floor = shrinkage * eigval.sum() / D
-            eigval = (1.0 - shrinkage) * eigval + floor
-        eigval = np.maximum(eigval, max(eigval.max(), 0.0) * 1e-10 + 1e-300)
+            lift = shrinkage * eigval.sum() / D
+            eigval = (1.0 - shrinkage) * eigval + lift
+        eigval = floor(eigval)
         P = np.diag(1.0 / np.sqrt(eigval)) @ Vt
         return m, P
 
@@ -82,8 +94,8 @@ def pca_whiten_learn(X: np.ndarray, shrinkage: float = 0.0) -> Tuple[np.ndarray,
     eigval = eigval[order]
     eigvec = eigvec[:, order]
     # relative floor bounds whitening amplification at 1e5x even if the
-    # spectrum underflows; a no-op for healthy spectra
-    eigval = np.maximum(eigval, max(eigval.max(), 0.0) * 1e-10 + 1e-300)
+    # spectrum underflows; a no-op for healthy spectra (disabled in strict)
+    eigval = floor(eigval)
     P = np.diag(1.0 / np.sqrt(eigval)) @ eigvec.T
     return m, P
 

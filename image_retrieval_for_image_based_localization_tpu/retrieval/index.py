@@ -100,7 +100,9 @@ class Index:
             )
             learn_set = descriptors[np.sort(sel)]
         if cfg.whitening == "pca":
-            m, P = pca_whiten_learn(learn_set, shrinkage=cfg.shrinkage)
+            m, P = pca_whiten_learn(
+                learn_set, shrinkage=cfg.shrinkage, strict=cfg.strict_whitening
+            )
         elif cfg.whitening == "lw":
             if pairs is None:
                 raise ValueError("Lw whitening requires pairs=(qidxs, pidxs)")

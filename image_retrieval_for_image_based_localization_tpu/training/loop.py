@@ -120,7 +120,11 @@ class _ResizedImageCache:
             max_side_resize,
         )
 
-        img = max_side_resize(load_image(self.paths[idx]), self.image_size)
+        # upscale=True must match probe_bucket_shape's target-size math
+        # (the static bucket is sized for resized-both-ways images)
+        img = max_side_resize(
+            load_image(self.paths[idx]), self.image_size, resize_filter="lanczos"
+        )
         u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
         self._lru[idx] = u8
         if len(self._lru) > self.capacity:

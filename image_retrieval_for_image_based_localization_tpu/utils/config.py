@@ -37,12 +37,21 @@ class ExtractConfig:
     msp: Optional[float] = None
     bucket_multiple: int = 32       # pad H/W up to multiples of this (stride)
     squarify: bool = False          # True: resize to square (fast path)
+    # exact-shape mode: no spatial padding — each image runs at its true
+    # resized shape (bucket_multiple forced to 1; same-shape images still
+    # batch). The reference runs bs=1 exact shapes; use this to measure the
+    # bucketed-vs-exact delta or for strict parity runs. Costs one XLA
+    # compilation per distinct shape.
+    exact: bool = False
     # None = auto (use the C++ decode/resize library when built and inputs
     # are paths); True forces it; False forces the PIL path
     native_preproc: Optional[bool] = None
-    # reference parity: cirtorch's imresize only SHRINKS to image_size
-    # (PIL thumbnail); upscale=True also grows small images (better batching)
-    upscale: bool = True
+    # reference parity (defaults): cirtorch's imresize thumbnails — it only
+    # SHRINKS to image_size and uses the antialiased LANCZOS filter.
+    # upscale=True also grows small images (sometimes better batching);
+    # resize_filter='bilinear' restores the round-1 behavior.
+    upscale: bool = False
+    resize_filter: str = "lanczos"  # 'lanczos' (reference) | 'bilinear'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +59,10 @@ class IndexConfig:
     whitening: Optional[str] = "pca"  # 'pca' | 'lw' | None
     whiten_dims: Optional[int] = None  # truncate to this many dims
     shrinkage: float = 0.0
+    # strict-reference PCA whitening: never auto-engage shrinkage or the
+    # eigenvalue floor (see ops.whitening.pca_whiten_learn) — parity runs
+    # against ported reference whitening must not be confounded silently
+    strict_whitening: bool = False
     # learn whitening on at most this many (deterministically sampled) rows;
     # applied to all. Host-side eig over >>100k rows adds nothing
     # statistically and this host has 1 CPU core.

@@ -19,6 +19,10 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
@@ -159,6 +163,105 @@ void resize_into_u8(const Image& img, int nh, int nw, uint8_t* out,
   }
 }
 
+// Lanczos-3 separable resize with PIL-compatible coefficients (half-pixel
+// centers; when downscaling the kernel support scales with 1/scale, i.e.
+// antialiased — PIL "thumbnail"/LANCZOS semantics, the reference's eval
+// preprocessing). Accumulation is double; the intermediate stays float
+// (PIL rounds to uint8 between passes — differences are sub-LSB) and the
+// final write quantizes to uint8, matching the PIL path's u8 round-trip.
+struct ResampleCoeffs {
+  std::vector<double> k;   // [outSize * ksize]
+  std::vector<int> xmin;   // first input tap per output index
+  std::vector<int> xmax;   // tap count per output index
+  int ksize = 0;
+};
+
+double lanczos3(double x) {
+  if (x <= -3.0 || x >= 3.0) return 0.0;
+  if (x == 0.0) return 1.0;
+  const double pix = M_PI * x;
+  return (std::sin(pix) / pix) * (std::sin(pix / 3.0) / (pix / 3.0));
+}
+
+ResampleCoeffs precompute_coeffs(int in_size, int out_size) {
+  ResampleCoeffs c;
+  const double scale = double(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 3.0 * filterscale;
+  c.ksize = int(std::ceil(support)) * 2 + 1;
+  c.k.assign(size_t(out_size) * c.ksize, 0.0);
+  c.xmin.resize(out_size);
+  c.xmax.resize(out_size);
+  const double ss = 1.0 / filterscale;
+  for (int xx = 0; xx < out_size; xx++) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = c.k.data() + size_t(xx) * c.ksize;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; x++) {
+      const double w = lanczos3((x + xmin - center + 0.5) * ss);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; x++) k[x] /= ww;
+    c.xmin[xx] = xmin;
+    c.xmax[xx] = xmax;
+  }
+  return c;
+}
+
+void resize_lanczos_into_u8(const Image& img, int nh, int nw, uint8_t* out,
+                            int out_h, int out_w) {
+  const ResampleCoeffs cx = precompute_coeffs(img.w, nw);
+  const ResampleCoeffs cy = precompute_coeffs(img.h, nh);
+  auto clip8 = [](double v) -> uint8_t {
+    return uint8_t(std::lround(std::max(0.0, std::min(255.0, v))));
+  };
+  // horizontal pass: [img.h, nw, 3]. PIL rounds AND CLAMPS the intermediate
+  // to uint8 — the clamp is a nonlinearity (Lanczos lobes overshoot), so we
+  // must replicate it or diverge by several LSB on high-frequency content.
+  std::vector<uint8_t> tmp(size_t(img.h) * nw * 3);
+  for (int y = 0; y < img.h; y++) {
+    const uint8_t* row = img.rgb.data() + size_t(y) * img.w * 3;
+    uint8_t* trow = tmp.data() + size_t(y) * nw * 3;
+    for (int xx = 0; xx < nw; xx++) {
+      const double* k = cx.k.data() + size_t(xx) * cx.ksize;
+      const int x0 = cx.xmin[xx], n = cx.xmax[xx];
+      double acc[3] = {0, 0, 0};
+      for (int t = 0; t < n; t++) {
+        const uint8_t* p = row + size_t(x0 + t) * 3;
+        acc[0] += k[t] * p[0];
+        acc[1] += k[t] * p[1];
+        acc[2] += k[t] * p[2];
+      }
+      trow[xx * 3 + 0] = clip8(acc[0]);
+      trow[xx * 3 + 1] = clip8(acc[1]);
+      trow[xx * 3 + 2] = clip8(acc[2]);
+    }
+  }
+  // vertical pass into the padded output slot
+  for (int yy = 0; yy < nh; yy++) {
+    const double* k = cy.k.data() + size_t(yy) * cy.ksize;
+    const int y0 = cy.xmin[yy], n = cy.xmax[yy];
+    uint8_t* orow = out + size_t(yy) * out_w * 3;
+    for (int x = 0; x < nw; x++) {
+      double acc[3] = {0, 0, 0};
+      for (int t = 0; t < n; t++) {
+        const uint8_t* p = tmp.data() + (size_t(y0 + t) * nw + x) * 3;
+        acc[0] += k[t] * p[0];
+        acc[1] += k[t] * p[1];
+        acc[2] += k[t] * p[2];
+      }
+      for (int c = 0; c < 3; c++) orow[x * 3 + c] = clip8(acc[c]);
+    }
+  }
+}
+
 void resize_normalize_into(const Image& img, int nh, int nw, float* out,
                            int out_h, int out_w) {
   const float sy = float(img.h) / nh;
@@ -201,10 +304,12 @@ extern "C" {
 //   out:        [n, out_h, out_w, 3] float32, zero-initialized by caller
 //   sizes:      [n, 2] int32 — receives each image's valid (h, w)
 //   bbx:        optional [n, 4] float (x0, y0, x1, y1) crop per image, or null
+//   filter:     0 = bilinear (half-pixel), 1 = Lanczos-3 (PIL/reference)
 //   returns:    number of successfully processed images
 static int process_batch(const char** paths, int n, int image_size,
                          void* out, bool as_u8, int out_h, int out_w,
-                         int* sizes, const float* bbx, int nthreads) {
+                         int* sizes, const float* bbx, int filter,
+                         int nthreads) {
   const bool shrink_only = image_size < 0;
   if (shrink_only) image_size = -image_size;
   std::atomic<int> next(0), ok(0);
@@ -241,7 +346,26 @@ static int process_batch(const char** paths, int n, int image_size,
       }
       nh = std::min(nh, out_h);
       nw = std::min(nw, out_w);
-      if (as_u8) {
+      if (filter == 1) {
+        // Lanczos resizes into a u8 staging image (the PIL path also
+        // round-trips u8), then normalizes from there if needed.
+        if (as_u8) {
+          resize_lanczos_into_u8(
+              img, nh, nw,
+              static_cast<uint8_t*>(out) + size_t(i) * out_h * out_w * 3,
+              out_h, out_w);
+        } else {
+          std::vector<uint8_t> stage(size_t(nh) * nw * 3);
+          resize_lanczos_into_u8(img, nh, nw, stage.data(), nh, nw);
+          float* o = static_cast<float*>(out) + size_t(i) * out_h * out_w * 3;
+          for (int y = 0; y < nh; y++)
+            for (int x = 0; x < nw; x++)
+              for (int c = 0; c < 3; c++)
+                o[(size_t(y) * out_w + x) * 3 + c] =
+                    (stage[(size_t(y) * nw + x) * 3 + c] / 255.0f - kMean[c]) /
+                    kStd[c];
+        }
+      } else if (as_u8) {
         resize_into_u8(img, nh, nw,
                        static_cast<uint8_t*>(out) + size_t(i) * out_h * out_w * 3,
                        out_h, out_w);
@@ -264,19 +388,24 @@ static int process_batch(const char** paths, int n, int image_size,
   return ok.load();
 }
 
+// Bumped whenever exported signatures change; the Python loader rebuilds a
+// stale .so automatically when the version doesn't match.
+int irtpu_abi_version() { return 2; }
+
 int irtpu_preprocess_batch(const char** paths, int n, int image_size,
                            float* out, int out_h, int out_w, int* sizes,
-                           const float* bbx, int nthreads) {
+                           const float* bbx, int filter, int nthreads) {
   return process_batch(paths, n, image_size, out, /*as_u8=*/false, out_h,
-                       out_w, sizes, bbx, nthreads);
+                       out_w, sizes, bbx, filter, nthreads);
 }
 
 // uint8 variant: raw resized pixels, no normalization (done on device).
 int irtpu_preprocess_batch_u8(const char** paths, int n, int image_size,
                               unsigned char* out, int out_h, int out_w,
-                              int* sizes, const float* bbx, int nthreads) {
+                              int* sizes, const float* bbx, int filter,
+                              int nthreads) {
   return process_batch(paths, n, image_size, out, /*as_u8=*/true, out_h,
-                       out_w, sizes, bbx, nthreads);
+                       out_w, sizes, bbx, filter, nthreads);
 }
 
 // Probe decoded dimensions without full preprocessing (for bucketing).

@@ -169,9 +169,29 @@ def test_u8_entry_matches_float_entry():
 
     ex = Extractor(CFG)
     imgs = synth_images(3, seed=14)
-    (batch,) = list(make_batches(imgs, image_size=64, batch_size=4))
+    (batch,) = list(make_batches(imgs, image_size=64, batch_size=4,
+                                 upscale=CFG.upscale,
+                                 resize_filter=CFG.resize_filter))
     d_float = ex(batch.pixels, batch.mask)           # float entry
     d_u8 = ex.extract(imgs)                          # u8 device entry
     np.testing.assert_allclose(
         d_u8[batch.indices], d_float[: len(batch.indices)], rtol=1e-4, atol=1e-5
     )
+
+
+def test_exact_mode_matches_single_image_runs():
+    """ExtractConfig(exact=True) descriptors == one-image-at-a-time exact
+    descriptors (the bucketed-vs-exact delta harness relies on this)."""
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    rng = np.random.RandomState(17)
+    imgs = [rng.rand(60, 90, 3).astype(np.float32) for _ in range(3)]
+    imgs += [rng.rand(48, 48, 3).astype(np.float32)]
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=96,
+                        batch_size=4, exact=True)
+    ex = Extractor(cfg)
+    batched = ex.extract(imgs)
+    for i, im in enumerate(imgs):
+        one = ex.extract([im])
+        np.testing.assert_allclose(batched[i], one[0], rtol=2e-5, atol=2e-6)

@@ -75,3 +75,35 @@ def test_squarify():
     assert len(batches) == 1
     assert batches[0].pixels.shape == (2, 64, 64, 3)
     assert batches[0].mask.all()
+
+
+def test_lanczos_resize_matches_pil():
+    from PIL import Image
+    from irtpu.data.images import max_side_resize
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(200, 150, 3).astype(np.float32)
+    got = max_side_resize(img, 96, resize_filter="lanczos")
+    pil = Image.fromarray((img * 255).astype(np.uint8))
+    want = np.asarray(pil.resize((72, 96), Image.LANCZOS), np.float32) / 255.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shrink_only_lanczos_is_reference_default():
+    """ExtractConfig defaults = reference thumbnail semantics."""
+    from irtpu.utils.config import ExtractConfig
+
+    cfg = ExtractConfig()
+    assert cfg.upscale is False and cfg.resize_filter == "lanczos"
+
+
+def test_make_batches_exact_shapes():
+    """bucket_multiple=1: no spatial padding, full masks, same-shape batching."""
+    imgs = [rand_img(60, 90, i) for i in range(3)] + [rand_img(45, 30, 9)]
+    batches = list(make_batches(imgs, image_size=96, batch_size=4, bucket_multiple=1))
+    shapes = sorted(b.pixels.shape[1:3] for b in batches)
+    # 60x90 -> 64x96; 45x30 -> 96x64 (upscale default True at function level)
+    assert len(batches) == 2
+    for b in batches:
+        for row in range(b.valid):
+            assert b.mask[row].all()  # exact: no spatial padding on real rows

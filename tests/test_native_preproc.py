@@ -119,3 +119,41 @@ def test_shrink_only_semantics(tmp_path):
                               batch_size=1, upscale=False))
     assert bp.pixels.shape == b.pixels.shape
     np.testing.assert_array_equal(bp.mask, b.mask)
+
+
+def test_native_lanczos_matches_pil_lanczos(tmp_path):
+    """The native Lanczos-3 resampler must track PIL LANCZOS within 1 LSB
+    (PIL rounds to uint8 between separable passes; we keep float)."""
+    from PIL import Image
+    from irtpu.data.native import preprocess_batch_native
+
+    rng = np.random.RandomState(13)
+    paths, wants = [], []
+    for i, (h, w) in enumerate([(300, 220), (97, 311)]):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"lz{i}.png")  # png: lossless
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        s = 96 / max(h, w)
+        nh, nw = max(1, round(h * s)), max(1, round(w * s))
+        wants.append(
+            np.asarray(Image.fromarray(img).resize((nw, nh), Image.LANCZOS))
+        )
+    px, sz = preprocess_batch_native(paths, 96, 96, 96, resize_filter="lanczos")
+    for i, want in enumerate(wants):
+        got = px[i, : sz[i, 0], : sz[i, 1]]
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_native_lanczos_batches_match_pil_batches(jpgs):
+    """Full batching parity: native lanczos path == PIL lanczos path."""
+    kw = dict(image_size=96, batch_size=4, resize_filter="lanczos", upscale=False)
+    b_pil = list(make_batches(jpgs, **kw))
+    b_nat = list(make_batches_native(jpgs, **kw))
+    assert len(b_pil) == len(b_nat)
+    for bp, bn in zip(b_pil, b_nat):
+        np.testing.assert_array_equal(bp.indices, bn.indices)
+        np.testing.assert_array_equal(bp.mask, bn.mask)
+        d = np.abs(bp.pixels_u8.astype(int) - bn.pixels_u8.astype(int))
+        assert d.max() <= 1, d.max()

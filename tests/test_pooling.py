@@ -130,3 +130,41 @@ class TestL2N:
         got = np.asarray(l2n(jnp.asarray(x)))
         want = x / (np.linalg.norm(x) + 1e-6)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestRMACMasked:
+    def test_masked_equals_cropped_when_grid_matches(self):
+        """A mask whose rectangle keeps the same region grid must equal the
+        cropped result (grid is a function of (H, W): use square->square)."""
+        from irtpu.ops.pooling import rmac, rmac_regions
+
+        rng = np.random.RandomState(21)
+        H = W = 12
+        hv = wv = 8
+        # only compare when the valid-crop grid == full grid scaled... the
+        # honest invariant: masked rmac == rmac on the crop IF the region
+        # grids coincide; rmac_regions(8,8) != rmac_regions(12,12), so
+        # instead verify the mask keeps padded positions out of every max:
+        x = rng.rand(2, H, W, 64).astype(np.float32)
+        xpad = x.copy()
+        xpad[:, hv:, :, :] = 1e6  # poison the padding
+        xpad[:, :, wv:, :] = 1e6
+        mask = np.zeros((2, H, W), bool)
+        mask[:, :hv, :wv] = True
+        got = np.asarray(rmac(jnp.asarray(xpad), mask=jnp.asarray(mask)))
+        ref = np.asarray(rmac(jnp.asarray(x), mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+        assert np.isfinite(got).all()
+
+    def test_extractor_rejects_rmac_with_bucketed_padding(self):
+        import pytest
+        from irtpu.api import Extractor
+        from irtpu.utils.config import ExtractConfig, ModelConfig
+
+        with pytest.raises(ValueError, match="rmac"):
+            Extractor(ExtractConfig(model=ModelConfig(arch="resnet18", pooling="rmac")))
+        # exact mode is accepted
+        Extractor(ExtractConfig(
+            model=ModelConfig(arch="resnet18", pooling="rmac"), exact=True,
+            image_size=64,
+        ))

@@ -88,3 +88,24 @@ def test_dual_form_matches_primal_when_overcomplete():
     cov = Xw.T @ Xw / X.shape[0]
     np.testing.assert_allclose(cov, np.eye(12), atol=0.15)
     assert P2.shape[0] == 10 and np.isfinite(P2).all()
+
+
+def test_strict_mode_no_auto_shrinkage():
+    """strict=True must reproduce raw reference math: no silent shrinkage."""
+    from irtpu.ops.whitening import pca_whiten_learn, whiten_apply
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # well-conditioned N > D: strict == default bitwise
+    X = rng.randn(500, 16).astype(np.float64)
+    m0, P0 = pca_whiten_learn(X)
+    m1, P1 = pca_whiten_learn(X, strict=True)
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_array_equal(P0, P1)
+    # N < D: default auto-engages shrinkage, strict must NOT
+    Xs = rng.randn(8, 32)
+    _, Pd = pca_whiten_learn(Xs)
+    _, Ps = pca_whiten_learn(Xs, strict=True)
+    assert not np.allclose(Pd, Ps)
+    # strict on rank-deficient data amplifies tail dims (reference behavior)
+    assert np.abs(Ps).max() > np.abs(Pd).max()

@@ -48,18 +48,29 @@ def evaluate_dataset(
         index = Index.build(db, index_cfg)
 
     if use_sharded_index:
+        from image_retrieval_for_image_based_localization_tpu.evaluation.map import (
+            candidate_matrix,
+            compute_map_streaming_and_print,
+        )
         from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
             ShardedIndex,
         )
 
         sindex = ShardedIndex.from_index(index, mesh=mesh)
         with phase_timer("rank", logger, items=dataset.nq):
-            # full ranking via k = N exact top-k (distributed)
-            _, idx = sindex.query(qd, k=index.gallery.shape[0])
-        ranks = idx.T
-    else:
-        with phase_timer("rank", logger, items=dataset.nq):
-            ranks = index.ranks(qd)
+            # scale-correct streaming evaluation: only the ground-truth
+            # candidates' global ranks are computed (psum-merged counts over
+            # the gallery axis) — no [Ng, Nq] score matrix on host or chip,
+            # so config-4/5 galleries evaluate within one chip's memory
+            cand = candidate_matrix(dataset.gnd)
+            ranks_all = sindex.rank_candidates(qd, cand)
+        results = compute_map_streaming_and_print(
+            dataset.name, ranks_all, dataset.gnd
+        )
+        return {"results": results, "index": index, "db": db, "queries": qd}
+
+    with phase_timer("rank", logger, items=dataset.nq):
+        ranks = index.ranks(qd)
 
     results = compute_map_and_print(dataset.name, ranks, dataset.gnd)
     return {"results": results, "index": index, "db": db, "queries": qd}

@@ -140,15 +140,33 @@ class RetrievalNet(nn.Module):
             if self.use_pallas:
                 from image_retrieval_for_image_based_localization_tpu.ops.pallas import (
                     netvlad_fused,
+                    netvlad_fused_rect,
                 )
 
-                desc = netvlad_fused(
-                    feats.reshape(feats.shape[0], -1, C).astype(jnp.float32),
-                    centroids,
-                    assign_w,
-                    assign_b,
-                    mask=fm,
-                )
+                if fmask is None:
+                    desc = netvlad_fused(
+                        feats.reshape(feats.shape[0], -1, C).astype(jnp.float32),
+                        centroids,
+                        assign_w,
+                        assign_b,
+                    )
+                else:
+                    # bucketing guarantees top-left-rectangle validity; the
+                    # masked fused kernel takes (h, w) extents in SMEM
+                    sizes = jnp.stack(
+                        [
+                            jnp.sum(jnp.any(fmask, axis=2), axis=1),
+                            jnp.sum(jnp.any(fmask, axis=1), axis=1),
+                        ],
+                        axis=1,
+                    ).astype(jnp.int32)
+                    desc = netvlad_fused_rect(
+                        feats.astype(jnp.float32),
+                        centroids,
+                        assign_w,
+                        assign_b,
+                        sizes=sizes,
+                    )
             else:
                 desc = netvlad_aggregate(
                     feats.astype(jnp.float32), centroids, assign_w, assign_b, mask=fm

@@ -12,6 +12,7 @@ from image_retrieval_for_image_based_localization_tpu.ops.pallas.gem_l2n import 
 )
 from image_retrieval_for_image_based_localization_tpu.ops.pallas.netvlad_kernel import (  # noqa: F401
     netvlad_fused,
+    netvlad_fused_rect,
 )
 from image_retrieval_for_image_based_localization_tpu.ops.pallas.score_topk import (  # noqa: F401
     scores_blockmax,

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
     merge_topk,
+    rank_candidates_core,
     streaming_topk,
 )
 
@@ -85,6 +86,50 @@ def sharded_knn(
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )(gallery, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_valid", "mesh", "axis"))
+def sharded_rank_candidates(
+    gallery: jax.Array,
+    queries: jax.Array,
+    cand: jax.Array,
+    mesh: Mesh,
+    n_valid: int,
+    chunk: int | None = None,
+    axis: str = "gallery",
+) -> jax.Array:
+    """Distributed candidate ranking over a row-sharded gallery.
+
+    The scale-correct evaluation path (replaces full ``k=N`` top-k merges):
+    every shard counts how many of *its* gallery rows rank ahead of each
+    candidate (``knn.rank_candidates_core``); counts psum over ICI — the
+    only cross-chip traffic is the tiny [Nq, C] count/score arrays, and no
+    ``[Ng, Nq]`` matrix ever exists on any host or chip.
+    """
+    n_shards = mesh.shape[axis]
+    local_rows = gallery.shape[0] // n_shards
+
+    def local_fn(g_local, q, cand_rep):
+        shard_id = jax.lax.axis_index(axis)
+        offset = shard_id * local_rows
+        local_valid = jnp.clip(n_valid - offset, 0, local_rows)
+        return rank_candidates_core(
+            g_local,
+            q,
+            cand_rep,
+            chunk=chunk,
+            n_valid=local_valid,
+            index_offset=offset,
+            psum_axis=axis,
+        )
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(gallery, queries, cand)
 
 
 class ShardedIndex:
@@ -154,6 +199,26 @@ class ShardedIndex:
         )
 
         return cls.from_index(Index.load(path), mesh=mesh, axis=axis)
+
+    def rank_candidates(
+        self, qdescriptors: np.ndarray, cand: np.ndarray, chunk: int | None = None
+    ) -> np.ndarray:
+        """Global rank of each candidate row (``[Nq, C]`` int32) — the
+        streaming mAP-evaluation path; see ``sharded_rank_candidates``."""
+        q = self.transform_queries(qdescriptors)
+        rep = NamedSharding(self.mesh, P())
+        q = jax.device_put(q, rep)
+        cand_j = jax.device_put(jnp.asarray(cand, jnp.int32), rep)
+        ranks = sharded_rank_candidates(
+            self.gallery,
+            q,
+            cand_j,
+            mesh=self.mesh,
+            n_valid=self.n_valid,
+            chunk=chunk,
+            axis=self.axis,
+        )
+        return np.asarray(ranks)
 
     def query(self, qdescriptors: np.ndarray, k: int = 10, chunk: int | None = None):
         """Distributed exact top-k. Returns host ``(scores, indices)``."""

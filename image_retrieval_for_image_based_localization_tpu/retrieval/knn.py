@@ -186,6 +186,107 @@ def knn_search(
     return streaming_topk(gallery, queries, k=k, chunk=chunk)
 
 
+def rank_candidates_core(
+    gallery: jnp.ndarray,
+    queries: jnp.ndarray,
+    cand: jnp.ndarray,
+    chunk: int | None = None,
+    n_valid: int | jnp.ndarray | None = None,
+    index_offset: int | jnp.ndarray = 0,
+    psum_axis: str | None = None,
+) -> jnp.ndarray:
+    """Global 0-based rank of each candidate gallery row, by streaming count.
+
+    mAP needs only the rank *positions* of each query's positive/junk images
+    (``evaluation.map``), and a candidate's rank under descending stable
+    (lower-index-wins) ordering is a pure count:
+
+        rank(c) = #{g : s_g > s_c} + #{g : s_g == s_c and g < c}
+
+    so the full ``[Ng, Nq]`` score matrix never exists — per chunk we compare
+    the fresh scores against the candidates' scores and accumulate counts.
+    Two passes over the gallery (one to read the candidates' own scores out
+    of the chunked score blocks, one to count); both use the same chunk
+    shapes so candidate scores are bit-identical to the scores they're
+    compared with, preserving exact NumPy ``argsort(kind='stable')`` tie
+    semantics (verified on adversarial duplicate galleries).
+
+    Shard-safe like ``streaming_topk``: ``n_valid``/``index_offset`` may be
+    traced; with ``psum_axis`` set, per-shard partial candidate scores and
+    counts are psum-merged over that mesh axis (candidate scores: exactly one
+    shard contributes, others add literal zeros).
+
+    Args:
+      cand: ``[Nq, C]`` int32 *global* gallery indices (pad rows with any
+        valid index; ignore their output).
+    Returns: ``[Nq, C]`` int32 ranks.
+    """
+    Ng, D = gallery.shape
+    Nq, C = cand.shape
+    if n_valid is None:
+        n_valid = Ng
+    if chunk is None:
+        # bound the [Nq, chunk, C] compare intermediate
+        budget_elems = 32 * 1024 * 1024
+        chunk = max(512, budget_elems // max(Nq * C, 1))
+        chunk = -(-chunk // 128) * 128
+    chunk = min(chunk, Ng)
+
+    nchunks = -(-Ng // chunk)
+    pad = nchunks * chunk - Ng
+    if pad:
+        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+    gblocks = gallery.reshape(nchunks, chunk, D)
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    cand = cand.astype(jnp.int32)
+    local_cand = cand - index_offset  # [Nq, C] in this shard's row space
+
+    def gather_body(cs, inp):
+        block, cstart = inp
+        s = score_matrix(block, queries)  # [Nq, chunk]
+        lc = local_cand - cstart
+        inb = (lc >= 0) & (lc < chunk)
+        g = jnp.take_along_axis(s, jnp.clip(lc, 0, chunk - 1), axis=1)
+        return jnp.where(inb, g, cs), None
+
+    cs, _ = jax.lax.scan(
+        gather_body, jnp.zeros((Nq, C), jnp.float32), (gblocks, starts)
+    )
+    if psum_axis is not None:
+        cs = jax.lax.psum(cs, psum_axis)
+
+    def count_body(cnt, inp):
+        block, cstart = inp
+        s = score_matrix(block, queries)  # [Nq, chunk]
+        lidx = cstart + jax.lax.broadcasted_iota(jnp.int32, (Nq, chunk), 1)
+        valid = lidx < n_valid
+        gidx = lidx + index_offset
+        ahead = (s[:, :, None] > cs[:, None, :]) | (
+            (s[:, :, None] == cs[:, None, :])
+            & (gidx[:, :, None] < cand[:, None, :])
+        )
+        ahead = ahead & valid[:, :, None]
+        return cnt + jnp.sum(ahead, axis=1, dtype=jnp.int32), None
+
+    counts, _ = jax.lax.scan(
+        count_body, jnp.zeros((Nq, C), jnp.int32), (gblocks, starts)
+    )
+    if psum_axis is not None:
+        counts = jax.lax.psum(counts, psum_axis)
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def rank_candidates(
+    gallery: jnp.ndarray,
+    queries: jnp.ndarray,
+    cand: jnp.ndarray,
+    chunk: int | None = None,
+) -> jnp.ndarray:
+    """Single-device entry for ``rank_candidates_core`` (see its docstring)."""
+    return rank_candidates_core(gallery, queries, cand, chunk=chunk)
+
+
 def full_ranks(gallery, queries, batch: int = 256) -> np.ndarray:
     """Full ranking ``[Ng, Nq]`` for mAP evaluation (host-side argsort).
 

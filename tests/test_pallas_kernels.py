@@ -121,6 +121,116 @@ def test_netvlad_fused_chunked_and_masked():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_netvlad_fused_rect_matches_masked_oracle():
+    from irtpu.ops.pallas import netvlad_fused_rect
+
+    rng = np.random.RandomState(13)
+    B, H, W, C, K = 3, 8, 12, 128, 8
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    c = rng.randn(K, C).astype(np.float32)
+    aw = (rng.randn(C, K) * 0.1).astype(np.float32)
+    b = rng.randn(K).astype(np.float32)
+    sizes = np.array([[8, 12], [5, 7], [2, 12]], np.int32)
+    got = np.asarray(
+        netvlad_fused_rect(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(aw), jnp.asarray(b),
+            sizes=jnp.asarray(sizes), chunk=32, interpret=True,
+        )
+    )
+    mask = np.zeros((B, H, W), np.float32)
+    for r, (h, w) in enumerate(sizes):
+        mask[r, :h, :w] = 1
+    want = np.asarray(
+        netvlad_aggregate(
+            jnp.asarray(x.reshape(B, H * W, C)), jnp.asarray(c),
+            jnp.asarray(aw), jnp.asarray(b),
+            mask=jnp.asarray(mask.reshape(B, H * W)),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_netvlad_fused_grad_matches_oracle():
+    """custom VJP: grads of the fused NetVLAD == grads of the jnp oracle
+    for every differentiable input (features, centroids, assignment FC)."""
+    import jax
+
+    rng = np.random.RandomState(14)
+    B, N, C, K = 2, 48, 128, 4
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    c = jnp.asarray(rng.randn(K, C).astype(np.float32))
+    aw = jnp.asarray((rng.randn(C, K) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.randn(K).astype(np.float32))
+    wv = jnp.asarray(rng.randn(B, K * C).astype(np.float32))
+
+    def loss_fused(x, c, aw, b):
+        return jnp.sum(netvlad_fused(x, c, aw, b, interpret=True) * wv)
+
+    def loss_oracle(x, c, aw, b):
+        return jnp.sum(netvlad_aggregate(x, c, aw, b) * wv)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, c, aw, b)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(x, c, aw, b)
+    for a, o in zip(gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o), rtol=1e-4, atol=1e-5)
+
+
+def test_netvlad_fused_rect_grad_matches_masked_oracle():
+    import jax
+    from irtpu.ops.pallas import netvlad_fused_rect
+
+    rng = np.random.RandomState(15)
+    B, H, W, C, K = 2, 6, 8, 128, 4
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    c = jnp.asarray(rng.randn(K, C).astype(np.float32))
+    aw = jnp.asarray((rng.randn(C, K) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.randn(K).astype(np.float32))
+    sizes = jnp.asarray([[6, 8], [3, 5]], jnp.int32)
+    wv = jnp.asarray(rng.randn(B, K * C).astype(np.float32))
+    mask = np.zeros((B, H * W), np.float32)
+    for r, (h, w) in enumerate(np.asarray(sizes)):
+        mask.reshape(B, H, W)[r, :h, :w] = 1
+
+    def loss_fused(x, c, aw, b):
+        return jnp.sum(
+            netvlad_fused_rect(x, c, aw, b, sizes=sizes, interpret=True) * wv
+        )
+
+    def loss_oracle(x, c, aw, b):
+        return jnp.sum(
+            netvlad_aggregate(
+                x.reshape(B, H * W, C), c, aw, b, mask=jnp.asarray(mask)
+            ) * wv
+        )
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, c, aw, b)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(x, c, aw, b)
+    for a, o in zip(gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o), rtol=1e-4, atol=1e-5)
+
+
+def test_model_pallas_netvlad_masked_head_matches_oracle():
+    """RetrievalNet(netvlad, use_pallas) on a bucketed (rect-masked) batch."""
+    import jax
+    from irtpu.models import RetrievalNet
+
+    m_pallas = RetrievalNet(
+        arch="resnet18", pooling="netvlad", netvlad_clusters=4, use_pallas=True
+    )
+    m_oracle = RetrievalNet(
+        arch="resnet18", pooling="netvlad", netvlad_clusters=4, use_pallas=False
+    )
+    rng = np.random.RandomState(16)
+    x = rng.rand(2, 64, 96, 3).astype(np.float32)
+    mask = np.zeros((2, 64, 96), bool)
+    mask[0, :64, :96] = True
+    mask[1, :40, :64] = True
+    v = m_oracle.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    d1 = np.asarray(m_pallas.apply(v, jnp.asarray(x), mask=jnp.asarray(mask)))
+    d2 = np.asarray(m_oracle.apply(v, jnp.asarray(x), mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+
+
 def test_scores_blockmax_matches_matmul():
     from irtpu.ops.pallas.score_topk import scores_blockmax
 

@@ -31,6 +31,29 @@ from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
 from image_retrieval_for_image_based_localization_tpu.ops.normalization import l2n
 
 
+def _timed_queries(fn, reps: int = 7):
+    """Run a compiled query fn ``reps`` times; return (last idx, latencies)."""
+    lat = []
+    idx = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, idx = fn()
+        idx = np.asarray(idx)  # block on completion
+        lat.append(time.perf_counter() - t0)
+    return idx, np.asarray(lat)
+
+
+def _latency_percentiles(lat: np.ndarray) -> Dict[str, float]:
+    """Serving-style latency summary (seconds): p50/p95/p99 + mean over the
+    timed repetitions of the query batch."""
+    return {
+        "lat_p50_s": float(np.percentile(lat, 50)),
+        "lat_p95_s": float(np.percentile(lat, 95)),
+        "lat_p99_s": float(np.percentile(lat, 99)),
+        "lat_mean_s": float(np.mean(lat)),
+    }
+
+
 def _dataset(cfg, data_root: str, synth_root: str):
     try:
         return configdataset(cfg.dataset, data_root)
@@ -149,22 +172,22 @@ def run_graded_config(
         np.asarray(
             sharded_knn(gallery, q, k=100, mesh=mesh, n_valid=n_total)[0]
         )  # compile
-        t0 = time.perf_counter()
-        scores, idx = sharded_knn(gallery, q, k=100, mesh=mesh, n_valid=n_total)
-        idx = np.asarray(idx)
-        dt = time.perf_counter() - t0
-        logger.log(config=n, gallery=n_total, queries=len(qd), seconds=dt,
-                   queries_per_sec=len(qd) / dt,
-                   mesh={k: int(v) for k, v in mesh.shape.items()})
+        idx, lat = _timed_queries(
+            lambda: sharded_knn(gallery, q, k=100, mesh=mesh, n_valid=n_total)
+        )
+        logger.log(config=n, gallery=n_total, queries=len(qd),
+                   seconds=float(np.sum(lat)),
+                   queries_per_sec=len(qd) / float(np.median(lat)),
+                   mesh={k: int(v) for k, v in mesh.shape.items()},
+                   **_latency_percentiles(lat))
     else:
         # config 5: 1M-descriptor streaming, bf16 gallery, batched queries
         np.asarray(knn_search(gallery, q, k=100)[0])  # compile
-        t0 = time.perf_counter()
-        scores, idx = knn_search(gallery, q, k=100)
-        idx = np.asarray(idx)
-        dt = time.perf_counter() - t0
-        logger.log(config=n, gallery=n_total, queries=len(qd), seconds=dt,
-                   queries_per_sec=len(qd) / dt, storage="bfloat16")
+        idx, lat = _timed_queries(lambda: knn_search(gallery, q, k=100))
+        logger.log(config=n, gallery=n_total, queries=len(qd),
+                   seconds=float(np.sum(lat)),
+                   queries_per_sec=len(qd) / float(np.median(lat)),
+                   storage="bfloat16", **_latency_percentiles(lat))
 
     # sanity: real (core) neighbors must beat random distractors
     hit_core = float(np.mean(idx[:, 0] < core.shape[0]))

@@ -120,6 +120,9 @@ def cmd_evaluate(argv):
                    help="strict-reference PCA (no auto-shrinkage/floor)")
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
+    p.add_argument("--mesh", default=None, metavar="DxG",
+                   help="mesh shape data x gallery, e.g. 2x4 (default: all "
+                        "devices on the gallery axis)")
     p.add_argument("--metrics-out", default=None)
     args = p.parse_args(argv)
 
@@ -135,12 +138,21 @@ def cmd_evaluate(argv):
         MetricsLogger,
     )
 
+    mesh = None
+    if args.mesh:
+        from image_retrieval_for_image_based_localization_tpu.parallel.mesh import (
+            create_mesh,
+        )
+
+        d, g = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = create_mesh([d, g])
+
     dataset = configdataset(args.dataset, args.data_root)
     cfg = _build_extract_cfg(args)
-    ex = Extractor(cfg)
+    ex = Extractor(cfg, mesh=mesh)
     variables = _load_variables(args, ex.model)
     if variables is not None:
-        ex = Extractor(cfg, variables=variables)
+        ex = Extractor(cfg, variables=variables, mesh=mesh)
     evaluate_dataset(
         dataset,
         cfg,
@@ -151,6 +163,7 @@ def cmd_evaluate(argv):
         ),
         extractor=ex,
         logger=MetricsLogger(args.metrics_out, echo=True),
+        mesh=mesh,
         use_sharded_index=args.sharded,
     )
 
@@ -164,6 +177,11 @@ def cmd_train(argv):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--n-neg", type=int, default=5)
     p.add_argument("--batch-tuples", type=int, default=5)
+    p.add_argument("--qsize", type=int, default=None,
+                   help="query pairs sampled per epoch (reference: 2000)")
+    p.add_argument("--poolsize", type=int, default=None,
+                   help="negative-pool images sampled per epoch "
+                        "(reference: 20000)")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--resume", default=None,
                    help="checkpoint dir to resume from (loads 'latest')")
@@ -308,6 +326,18 @@ COMMANDS = {
 
 
 def main(argv=None):
+    # Honor an explicitly-set JAX_PLATFORMS even when a sitecustomize has
+    # already pinned jax_platforms (e.g. a managed host that force-registers
+    # its accelerator backend): the user's env request wins.
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+
+        if jax.config.jax_platforms != plats:
+            jax.config.update("jax_platforms", plats)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in COMMANDS:
         print(f"usage: ... {{{'|'.join(COMMANDS)}}} [args]", file=sys.stderr)

@@ -168,6 +168,46 @@ def port_densenet_trunk(sd: Mapping[str, Any], arch: str, prefix: str = "feature
     return {"params": params, "batch_stats": stats}
 
 
+# cirtorch builds the trunk as ``nn.Sequential(*children)``, which renames
+# the children of archs with NAMED top-level modules to numeric indices
+# (resnet: features.0 = conv1, features.4.0.conv1 = layer1.0.conv1; densenet
+# likewise). vgg/alexnet/squeezenet use numeric Sequential indices in
+# torchvision already, so their cirtorch keys pass through unchanged.
+_CIRTORCH_SEQ_NAMES = {
+    "resnet": ["conv1", "bn1", "relu", "maxpool",
+               "layer1", "layer2", "layer3", "layer4"],
+    "densenet": ["conv0", "norm0", "relu0", "pool0",
+                 "denseblock1", "transition1", "denseblock2", "transition2",
+                 "denseblock3", "transition3", "denseblock4", "norm5"],
+}
+
+
+def cirtorch_to_torchvision_keys(
+    sd: Mapping[str, Any], arch: str, prefix: str = "features."
+) -> Mapping[str, Any]:
+    """Translate cirtorch's numeric ``features.N.*`` trunk keys back to
+    torchvision attribute names (``features.conv1.*`` etc.) for archs whose
+    top-level modules are named. No-op when keys already look torchvision
+    (or the arch's torchvision layout is numeric anyway)."""
+    family = "resnet" if arch.startswith("resnet") else (
+        "densenet" if arch.startswith("densenet") else None
+    )
+    if family is None:
+        return sd
+    names = _CIRTORCH_SEQ_NAMES[family]
+    if not any(k.startswith(f"{prefix}0.") or k == f"{prefix}0.weight" for k in sd):
+        return sd  # already torchvision-named
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            rest = k[len(prefix):]
+            head, _, tail = rest.partition(".")
+            if head.isdigit() and int(head) < len(names):
+                k = f"{prefix}{names[int(head)]}" + ("." + tail if tail else "")
+        out[k] = v
+    return out
+
+
 def port_retrieval_net(
     sd: Mapping[str, Any],
     arch: str,
@@ -178,9 +218,12 @@ def port_retrieval_net(
 ) -> Dict:
     """cirtorch-style full-model state_dict → RetrievalNet variables.
 
-    cirtorch saves the trunk under ``features.*`` with torchvision's inner
-    naming; GeM's p under ``pool.p``; the whitening FC under ``whiten.*``.
+    cirtorch saves the trunk under ``features.*``; numeric Sequential
+    renaming (resnet/densenet) is translated back to torchvision attribute
+    names automatically (``cirtorch_to_torchvision_keys``); GeM's p lives
+    under ``pool.p``; the whitening FC under ``whiten.*``.
     """
+    sd = cirtorch_to_torchvision_keys(sd, arch, prefix=trunk_prefix)
     if arch.startswith("resnet"):
         trunk = port_resnet_trunk(sd, arch, prefix=trunk_prefix)
     elif arch.startswith("vgg"):

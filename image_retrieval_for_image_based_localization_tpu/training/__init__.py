@@ -8,6 +8,7 @@ from image_retrieval_for_image_based_localization_tpu.training.trainer import ( 
     train_epoch,
 )
 from image_retrieval_for_image_based_localization_tpu.training.mining import (  # noqa: F401
+    mine_epoch_tuples,
     mine_hard_negatives,
     TupleSet,
 )

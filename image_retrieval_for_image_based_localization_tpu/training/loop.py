@@ -39,7 +39,7 @@ from image_retrieval_for_image_based_localization_tpu.models.retrieval_net impor
 )
 from image_retrieval_for_image_based_localization_tpu.training.mining import (
     TupleSet,
-    mine_hard_negatives,
+    mine_epoch_tuples,
 )
 from image_retrieval_for_image_based_localization_tpu.training.trainer import (
     TrainConfig,
@@ -204,7 +204,10 @@ def run_training(args) -> dict:
     )
     logger.log(event="pool", source=source, images=len(paths), pairs=len(qidxs))
 
-    steps_per_epoch = max(len(qidxs) // args.batch_tuples, 1)
+    qsize = getattr(args, "qsize", None)
+    poolsize = getattr(args, "poolsize", None)
+    epoch_pairs = min(qsize, len(qidxs)) if qsize else len(qidxs)
+    steps_per_epoch = max(epoch_pairs // args.batch_tuples, 1)
     cfg = TrainConfig(
         loss=args.loss, margin=args.margin, lr=args.lr, n_neg=args.n_neg,
         batch_tuples=args.batch_tuples, steps_per_epoch=steps_per_epoch,
@@ -254,15 +257,16 @@ def run_training(args) -> dict:
                 "whiten_dim": args.whiten_dim, "loss": args.loss,
                 "epoch": epoch}
         # 1. re-mine hard negatives with the current model (SURVEY.md §3.5):
-        # pool descriptors stream from paths through the uint8 device pipeline
-        pool_vecs = extractor().extract(paths)
-        tuples = mine_hard_negatives(
-            pool_vecs, qidxs, pidxs, clusters=clusters, n_neg=cfg.n_neg,
-            seed=epoch,
+        # qsize/poolsize sampling per the reference's create_epoch_tuples —
+        # only the sampled union is extracted, streamed from paths through
+        # the uint8 device pipeline
+        tuples = mine_epoch_tuples(
+            extractor().extract, paths, qidxs, pidxs, clusters=clusters,
+            n_neg=cfg.n_neg, seed=epoch, qsize=qsize, poolsize=poolsize,
         )
 
         # 2. batched tuple training — one static shape, prefetch-fed
-        order = np.random.RandomState(epoch).permutation(len(qidxs))
+        order = np.random.RandomState(epoch).permutation(len(tuples.qidxs))
         losses = []
         batches = iter_tuple_batches(
             cache, tuples, cfg.batch_tuples, tuple_hw, order=order

@@ -140,6 +140,37 @@ class TestTorchParity:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+    def test_cirtorch_numeric_keys_port_identically(self):
+        """cirtorch wraps the trunk in nn.Sequential, renaming resnet keys to
+        numeric indices (features.0 = conv1, features.4.0 = layer1.0, ...);
+        porting such a checkpoint must produce the same variables as the
+        torchvision-named layout."""
+        import torch
+
+        from torch_oracles import resnet18_trunk, randomize_bn_stats
+        from irtpu.models.torch_port import port_retrieval_net
+
+        tm = randomize_bn_stats(resnet18_trunk(), 4).eval()
+        sd_tv = {f"features.{k}": v for k, v in tm.state_dict().items()}
+        sd_tv["pool.p"] = torch.tensor(2.7)
+
+        seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+               "layer3": "6", "layer4": "7"}
+        sd_ct = {}
+        for k, v in sd_tv.items():
+            if k.startswith("features."):
+                rest = k[len("features."):]
+                head, _, tail = rest.partition(".")
+                k = f"features.{seq[head]}" + ("." + tail if tail else "")
+            sd_ct[k] = v
+
+        v_tv = port_retrieval_net(sd_tv, "resnet18")
+        v_ct = port_retrieval_net(sd_ct, "resnet18")
+        assert jax.tree.structure(v_tv) == jax.tree.structure(v_ct)
+        for a, b in zip(jax.tree.leaves(v_tv), jax.tree.leaves(v_ct)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestExtraArchParity:
     def test_alexnet_trunk_parity(self):
         from torch_oracles import AlexNetTorch

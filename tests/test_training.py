@@ -60,6 +60,80 @@ class TestMining:
         assert clusters[ts.nidxs[0][0]] != clusters[ts.nidxs[0][1]]
 
 
+    def test_vectorized_filter_matches_sequential_reference(self):
+        """The vectorized candidate filter must reproduce the reference's
+        sequential scan (skip self/positive/same-cluster, one per cluster,
+        first n_neg in rank order) on randomized inputs."""
+        from irtpu.training.mining import _filter_candidates
+
+        def sequential(cand, qidxs, pidxs, clusters, n_neg):
+            out = np.full((len(qidxs), n_neg), -1, np.int64)
+            for qi in range(len(qidxs)):
+                picked, seen = [], []
+                for c in cand[qi]:
+                    if c == qidxs[qi] or c == pidxs[qi]:
+                        continue
+                    if clusters is not None:
+                        if clusters[c] == clusters[qidxs[qi]]:
+                            continue
+                        if clusters[c] in seen:
+                            continue
+                    picked.append(c)
+                    if clusters is not None:
+                        seen.append(clusters[c])
+                    if len(picked) == n_neg:
+                        break
+                out[qi, : len(picked)] = picked
+            return out
+
+        rng = np.random.RandomState(7)
+        for trial in range(20):
+            N, k, nq, n_neg = 60, 25, 8, 5
+            clusters = rng.randint(0, 6, N) if trial % 3 else None
+            qidxs = rng.choice(N, nq, replace=False)
+            pidxs = np.asarray(
+                [rng.choice([v for v in range(N) if v != q]) for q in qidxs]
+            )
+            cand = np.stack([rng.permutation(N)[:k] for _ in range(nq)]).astype(
+                np.int64
+            )
+            got = _filter_candidates(cand, qidxs, pidxs, clusters, n_neg)
+            want = sequential(cand, qidxs, pidxs, clusters, n_neg)
+            np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+    def test_mine_epoch_tuples_sampling(self):
+        """qsize/poolsize sampling: only the union is extracted; negatives
+        come from the sampled pool; indices are global."""
+        from irtpu.training.mining import mine_epoch_tuples
+
+        rng = np.random.RandomState(8)
+        N, D = 40, 16
+        vecs = rng.randn(N, D).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        paths = [f"img_{i}" for i in range(N)]
+        clusters = np.arange(N) // 4
+        qidxs = np.arange(0, N - 1, 4)
+        pidxs = qidxs + 1
+        extracted = []
+
+        def extract(subset):
+            extracted.append(len(subset))
+            ids = [int(p.split("_")[1]) for p in subset]
+            return vecs[ids]
+
+        ts = mine_epoch_tuples(
+            extract, paths, qidxs, pidxs, clusters=clusters, n_neg=2,
+            seed=3, qsize=4, poolsize=16,
+        )
+        assert ts.qidxs.shape == (4,) and ts.nidxs.shape == (4, 2)
+        assert extracted[0] <= 4 + 4 + 16  # union only, not the full pool
+        for r in range(4):
+            q = ts.qidxs[r]
+            assert ts.pidxs[r] != q
+            for n in ts.nidxs[r]:
+                assert clusters[n] != clusters[q]
+
+
 class TestTrainStep:
     def _setup(self, mesh=None):
         model = RetrievalNet(arch="resnet18", pooling="gem")

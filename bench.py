@@ -47,7 +47,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        batch, size, iters, warmup = 96, 1024, 4, 1
+        # batch 128 is the measured throughput peak on this rig (492.8 img/s
+        # vs 465.9 at b96, 450.5 at b160 — PERF.md batch-scaling table)
+        batch, size, iters, warmup = 128, 1024, 4, 1
         Ng, D, nq = 100_000, 2048, 256
     else:  # CPU fallback keeps the script runnable anywhere
         batch, size, iters, warmup = 2, 128, 3, 1

@@ -115,6 +115,15 @@ class Extractor:
             )
         self.variables = variables
         self.mesh = mesh
+        self._folded = None
+        # None resolves to OFF: the fused trunk measured slower than XLA's
+        # conv emitters on hardware (see ExtractConfig.fuse_blocks)
+        if cfg.fuse_blocks:
+            from image_retrieval_for_image_based_localization_tpu.models.fused_trunk import (
+                fold_trunk_variables,
+            )
+
+            self._folded = fold_trunk_variables(self.variables, mc.arch)
         self._forward = self._build_forward()
 
     # -- compiled paths ------------------------------------------------------
@@ -137,6 +146,8 @@ class Extractor:
                 return jnp.asarray(model.gem_p, jnp.float32)
             return jnp.asarray(1.0, jnp.float32)
 
+        folded = self._folded
+
         def single_scale(variables, pixels, mask, scale: float):
             if scale != 1.0:
                 B, H, W, C = pixels.shape
@@ -150,6 +161,18 @@ class Extractor:
                 mask = (
                     jax.image.resize(mask.astype(jnp.float32), (B, nh, nw), "nearest")
                     >= 0.5
+                )
+            if folded is not None:
+                from image_retrieval_for_image_based_localization_tpu.models.fused_trunk import (
+                    trunk_apply_fused,
+                )
+
+                feats = trunk_apply_fused(folded, pixels.astype(model.dtype))
+                sh = pixels.shape[1] // feats.shape[1]
+                sw = pixels.shape[2] // feats.shape[2]
+                fmask = mask[:, ::sh, ::sw][:, : feats.shape[1], : feats.shape[2]]
+                return model.apply(
+                    variables, feats, mask=fmask, precomputed_features=True
                 )
             return model.apply(variables, pixels, mask=mask)
 

@@ -117,14 +117,24 @@ class RetrievalNet(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
+        precomputed_features: bool = False,
     ) -> jnp.ndarray:
-        feats = self.make_trunk()(x, train=train)  # [B, h, w, C]
-        fmask = None
-        if mask is not None:
-            # Downsample the pixel-validity mask to the feature stride.
-            stride_h = x.shape[1] // feats.shape[1]
-            stride_w = x.shape[2] // feats.shape[2]
-            fmask = mask[:, ::stride_h, ::stride_w][:, : feats.shape[1], : feats.shape[2]]
+        if precomputed_features:
+            # x is already the trunk feature map (e.g. from the inference-
+            # fused trunk, models.fused_trunk); mask must be given at
+            # feature resolution. Init never takes this path, so the trunk
+            # params are declared normally.
+            feats, fmask = x, mask
+        else:
+            feats = self.make_trunk()(x, train=train)  # [B, h, w, C]
+            fmask = None
+            if mask is not None:
+                # Downsample the pixel-validity mask to the feature stride.
+                stride_h = x.shape[1] // feats.shape[1]
+                stride_w = x.shape[2] // feats.shape[2]
+                fmask = mask[:, ::stride_h, ::stride_w][
+                    :, : feats.shape[1], : feats.shape[2]
+                ]
 
         if self.pooling == "netvlad":
             C = feats.shape[-1]

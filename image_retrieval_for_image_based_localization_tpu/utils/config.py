@@ -52,6 +52,15 @@ class ExtractConfig:
     # resize_filter='bilinear' restores the round-1 behavior.
     upscale: bool = False
     resize_filter: str = "lanczos"  # 'lanczos' (reference) | 'bilinear'
+    # EXPERIMENTAL inference-fused trunk (ops.pallas.bottleneck_block):
+    # stride-1 bottleneck blocks as VMEM-resident Pallas kernels with BN
+    # folded — ~2x less early-stage HBM traffic. Measured on this rig it
+    # LOSES to XLA's small-channel conv emitters end-to-end (330 vs 480
+    # img/s at b128/1024px, resnet50 bf16 — per-tile overheads + 64-lane
+    # ops; PERF.md "Fused bottleneck kernel"), so None resolves to OFF;
+    # set True to opt in (descriptors agree to bf16 noise, cosine
+    # >= 0.999999 on hardware; masks compose). Inference only.
+    fuse_blocks: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -195,3 +195,25 @@ def test_exact_mode_matches_single_image_runs():
     for i, im in enumerate(imgs):
         one = ex.extract([im])
         np.testing.assert_allclose(batched[i], one[0], rtol=2e-5, atol=2e-6)
+
+
+def test_extractor_fuse_blocks_matches_flax_trunk():
+    """ExtractConfig(fuse_blocks=True): the BN-folded fused trunk produces
+    the same descriptors as the flax trunk through the public extract API
+    (bucketed batch with masks)."""
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    rng = np.random.RandomState(18)
+    imgs = [rng.rand(64, 96, 3).astype(np.float32),
+            rng.rand(48, 64, 3).astype(np.float32)]
+    base = ExtractConfig(model=ModelConfig(arch="resnet50"), image_size=96,
+                         batch_size=2)
+    ex_flax = Extractor(base)
+    import dataclasses
+    ex_fused = Extractor(dataclasses.replace(base, fuse_blocks=True),
+                         variables=ex_flax.variables)
+    d_flax = ex_flax.extract(imgs)
+    d_fused = ex_fused.extract(imgs)
+    cos = np.sum(d_flax * d_fused, axis=1)
+    assert (cos > 0.9999).all(), cos

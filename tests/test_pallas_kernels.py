@@ -231,6 +231,69 @@ def test_model_pallas_netvlad_masked_head_matches_oracle():
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
 
 
+def test_bottleneck_fused_matches_oracle():
+    """VMEM-resident fused bottleneck vs the XLA composition, including
+    border tiles (zero-pad halo) and multi-tile interiors."""
+    from irtpu.ops.pallas.bottleneck_block import bottleneck_fused, bottleneck_oracle
+
+    rng = np.random.RandomState(20)
+    for B, H, W, Cin, Cm in [(1, 16, 16, 128, 32), (2, 32, 16, 128, 32),
+                             (1, 24, 40, 128, 32)]:
+        x = (rng.randn(B, H, W, Cin) * 0.5).astype(np.float32)
+        w1 = (rng.randn(Cin, Cm) * 0.05).astype(np.float32)
+        w2 = (rng.randn(3, 3, Cm, Cm) * 0.05).astype(np.float32)
+        w3 = (rng.randn(Cm, Cin) * 0.05).astype(np.float32)
+        b1 = (rng.randn(Cm) * 0.1).astype(np.float32)
+        b2 = (rng.randn(Cm) * 0.1).astype(np.float32)
+        b3 = (rng.randn(Cin) * 0.1).astype(np.float32)
+        args = [jnp.asarray(v) for v in (x, w1, b1, w2, b2, w3, b3)]
+        got = np.asarray(bottleneck_fused(*args, interpret=True))
+        want = np.asarray(bottleneck_oracle(*args))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{(B, H, W)}")
+
+
+def test_fused_trunk_matches_flax_trunk():
+    """BN-folded fused trunk == the flax trunk (inference), resnet50."""
+    import jax
+    from irtpu.models.resnet import ResNetTrunk
+    from irtpu.models.fused_trunk import fold_trunk_variables, trunk_apply_fused
+
+    trunk = ResNetTrunk("resnet50")
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    v = trunk.init(jax.random.PRNGKey(0), x)
+    # randomized BN stats so the fold is actually exercised
+    v = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            np.abs(rng.randn(*a.shape)).astype(np.float32) * 0.1
+        ) if a.ndim == 1 else a,
+        v,
+    )
+    want = np.asarray(trunk.apply(v, x))
+    folded = fold_trunk_variables(v, "resnet50")
+    got = np.asarray(trunk_apply_fused(folded, x, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_retrieval_net_precomputed_features_path():
+    """RetrievalNet(head-only) on precomputed features == full forward."""
+    import jax
+    from irtpu.models import RetrievalNet
+    from irtpu.models.fused_trunk import fold_trunk_variables, trunk_apply_fused
+
+    m = RetrievalNet(arch="resnet50", pooling="gem")
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m.apply(v, x))
+    folded = fold_trunk_variables(v, "resnet50")
+    feats = trunk_apply_fused(folded, x, interpret=True)
+    got = np.asarray(m.apply(v, feats, precomputed_features=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
 def test_scores_blockmax_matches_matmul():
     from irtpu.ops.pallas.score_topk import scores_blockmax
 

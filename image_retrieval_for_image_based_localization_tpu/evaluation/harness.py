@@ -7,6 +7,9 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax.numpy as jnp
+import numpy as np
+
 from image_retrieval_for_image_based_localization_tpu.api import Extractor
 from image_retrieval_for_image_based_localization_tpu.data.test_datasets import (
     TestDataset,
@@ -34,6 +37,7 @@ def evaluate_dataset(
     logger: Optional[MetricsLogger] = None,
     mesh=None,
     use_sharded_index: bool = False,
+    dense_rank_limit: int = 50_000,
 ) -> Dict:
     """Run the full eval pipeline on a TestDataset; returns the mAP results."""
     logger = logger or MetricsLogger()
@@ -64,6 +68,29 @@ def evaluate_dataset(
             # so config-4/5 galleries evaluate within one chip's memory
             cand = candidate_matrix(dataset.gnd)
             ranks_all = sindex.rank_candidates(qd, cand)
+        results = compute_map_streaming_and_print(
+            dataset.name, ranks_all, dataset.gnd
+        )
+        return {"results": results, "index": index, "db": db, "queries": qd}
+
+    if index.gallery.shape[0] > dense_rank_limit:
+        # large gallery, single device: the full [Ng, Nq] host rank matrix
+        # is the memory hazard, not the device — stream candidate ranks
+        from image_retrieval_for_image_based_localization_tpu.evaluation.map import (
+            candidate_matrix,
+            compute_map_streaming_and_print,
+        )
+        from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+            rank_candidates,
+        )
+
+        with phase_timer("rank", logger, items=dataset.nq):
+            cand = candidate_matrix(dataset.gnd)
+            qt = index.transform_queries(qd)
+            ranks_all = np.asarray(
+                rank_candidates(index.device_gallery(), jnp.asarray(qt),
+                                jnp.asarray(cand, jnp.int32))
+            )
         results = compute_map_streaming_and_print(
             dataset.name, ranks_all, dataset.gnd
         )

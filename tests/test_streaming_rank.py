@@ -133,6 +133,29 @@ def test_streaming_map_equals_full_rank_map(revisited, capsys):
         np.testing.assert_allclose(got["mprk"], want["mprk"])
 
 
+def test_harness_streaming_dense_limit_matches_full_rank(tmp_path):
+    """evaluate_dataset's single-device streaming path (gallery >
+    dense_rank_limit) must reproduce the dense full-rank mAP exactly."""
+    from irtpu.data.test_datasets import make_synthetic_dataset
+    from irtpu.evaluation.harness import evaluate_dataset
+    from irtpu.utils.config import ExtractConfig, IndexConfig, ModelConfig
+
+    ds = make_synthetic_dataset(
+        str(tmp_path), n_scenes=2, views_per_scene=3, n_distractors=2,
+        image_hw=(64, 80), seed=6,
+    )
+    cfg = ExtractConfig(
+        model=ModelConfig(arch="resnet18", pooling="gem"),
+        image_size=80, batch_size=4,
+    )
+    dense = evaluate_dataset(ds, cfg, IndexConfig(whitening=None))
+    stream = evaluate_dataset(
+        ds, cfg, IndexConfig(whitening=None), dense_rank_limit=0
+    )
+    for p in ("easy", "medium", "hard"):
+        assert stream["results"][p]["map"] == dense["results"][p]["map"]
+
+
 def test_sharded_rank_candidates_whitened_index():
     """Whitening transform applied identically in the streaming rank path."""
     from irtpu.parallel.mesh import create_mesh

@@ -298,6 +298,46 @@ def cmd_query(argv):
         print(f"q{qi}: " + " ".join(f"{i}:{s:.4f}" for s, i in zip(scores[qi], idx[qi])))
 
 
+def cmd_shortlist(argv):
+    """Retrieval-as-localization hand-off: query images -> top-k shortlist
+    pairs file for a downstream 6-DoF pose pipeline (the reference's actual
+    purpose, SURVEY.md §1; hloc-style `<query> <db>` lines)."""
+    p = argparse.ArgumentParser(prog="shortlist")
+    _model_args(p)
+    p.add_argument("--index", required=True, help="index .npz from build-index")
+    p.add_argument("--images", nargs="+", required=True, help="query image paths")
+    p.add_argument("-k", type=int, default=20)
+    p.add_argument("--db-names", default=None,
+                   help="optional text file, one db image name per line")
+    p.add_argument("--out", required=True, help="pairs file to write")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.api import Extractor
+    from image_retrieval_for_image_based_localization_tpu.localization import (
+        localize_shortlist,
+    )
+    from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
+
+    index = Index.load(args.index)
+    cfg = _build_extract_cfg(args)
+    ex = Extractor(cfg)
+    variables = _load_variables(args, ex.model)
+    if variables is not None:
+        ex = Extractor(cfg, variables=variables)
+    qd = ex.extract(args.images)
+    db_names = None
+    if args.db_names:
+        db_names = [l.strip() for l in open(args.db_names) if l.strip()]
+    import os as _os
+
+    qnames = [_os.path.basename(p) for p in args.images]
+    pairs, _ = localize_shortlist(
+        index, qd, qnames, db_names=db_names, k=args.k, out_path=args.out
+    )
+    print(f"wrote {len(pairs)} pairs ({len(qnames)} queries x k={args.k}) "
+          f"to {args.out}")
+
+
 def cmd_config(argv):
     p = argparse.ArgumentParser(prog="config")
     p.add_argument("n", type=int, choices=[1, 2, 3, 4, 5],
@@ -322,6 +362,7 @@ COMMANDS = {
     "parity": cmd_parity,
     "build-index": cmd_build_index,
     "query": cmd_query,
+    "shortlist": cmd_shortlist,
 }
 
 

@@ -52,3 +52,53 @@ def test_cli_evaluate(synth_root, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "mAP" in out
+
+
+def test_cli_shortlist(synth_root, tmp_path):
+    """shortlist: query images -> hloc-style pairs file via the index."""
+    jpg = os.path.join(synth_root, "clitest", "jpg")
+    all_imgs = [os.path.join(jpg, f) for f in sorted(os.listdir(jpg))]
+    db_imgs, q_imgs = all_imgs[:4], all_imgs[4:6]
+
+    descs = str(tmp_path / "db.npy")
+    assert main(["extract", "--images", *db_imgs, "--arch", "resnet18",
+                 "--image-size", "64", "--batch-size", "2", "--out", descs]) == 0
+    index = str(tmp_path / "i.npz")
+    assert main(["build-index", "--descriptors", descs, "--out", index,
+                 "--whitening", "none"]) == 0
+
+    names = str(tmp_path / "names.txt")
+    with open(names, "w") as f:
+        f.write("\n".join(os.path.basename(p) for p in db_imgs) + "\n")
+    pairs = str(tmp_path / "pairs.txt")
+    rc = main(["shortlist", "--index", index, "--images", *q_imgs,
+               "--arch", "resnet18", "--image-size", "64", "--batch-size", "2",
+               "-k", "3", "--db-names", names, "--out", pairs])
+    assert rc == 0
+    lines = [l.split() for l in open(pairs) if l.strip()]
+    assert len(lines) == 2 * 3  # Nq * k
+    db_basenames = {os.path.basename(p) for p in db_imgs}
+    for qn, dn in lines:
+        assert qn in {os.path.basename(p) for p in q_imgs}
+        assert dn in db_basenames
+    # queries grouped in order, k lines each
+    assert [l[0] for l in lines[:3]] == [os.path.basename(q_imgs[0])] * 3
+
+
+def test_localization_pairs_roundtrip(tmp_path):
+    from irtpu.localization import localize_shortlist, retrieval_pairs
+    from irtpu.retrieval.index import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(30)
+    db = rng.randn(20, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = Index.build(db, IndexConfig(whitening=None))
+    q = db[[3, 7]] + rng.randn(2, 16).astype(np.float32) * 0.01
+    pairs, scores = localize_shortlist(
+        index, q, ["qa", "qb"], db_names=[f"db{i}" for i in range(20)],
+        k=2, out_path=str(tmp_path / "p.txt"),
+    )
+    assert pairs[0] == ("qa", "db3") and pairs[2] == ("qb", "db7")
+    on_disk = [tuple(l.split()) for l in open(tmp_path / "p.txt")]
+    assert on_disk == pairs

@@ -185,6 +185,30 @@ class TestTrainStep:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-4, atol=1e-6)
 
 
+def test_train_step_remat_matches_no_remat():
+    """jax.checkpoint rematerialization is semantically identity: one step
+    with remat=True must produce the same loss and parameters."""
+
+    def setup(remat):
+        model = RetrievalNet(arch="resnet18", pooling="gem")
+        cfg = TrainConfig(n_neg=1, lr=1e-3, remat=remat)
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+        )
+        return state, make_train_step(model, tx, cfg)
+
+    rng = np.random.RandomState(9)
+    pixels = jnp.asarray(rng.rand(2, 3, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+    s_r, step_r = setup(True)
+    s_n, step_n = setup(False)
+    s_r, l_r = step_r(s_r, pixels, labels)
+    s_n, l_n = step_n(s_n, pixels, labels)
+    np.testing.assert_allclose(float(l_r), float(l_n), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_r.params), jax.tree.leaves(s_n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_train_step_use_pallas_matches_xla_head():
     """With the custom VJP, use_pallas=True trains and matches the XLA head."""
 

@@ -235,3 +235,23 @@ def test_densenet_trunk_parity():
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_golden_descriptor_snapshot():
+    """Cross-round regression anchor (SURVEY.md §4): a fixed deterministic
+    image through a PRNGKey(42)-initialized resnet18+GeM must reproduce the
+    pinned descriptor head values. Any silent change to init, trunk math,
+    pooling, or normalization semantics trips this."""
+    from irtpu.models import RetrievalNet
+
+    m = RetrievalNet(arch="resnet18", pooling="gem")
+    x = jnp.asarray((np.indices((1, 32, 32, 3)).sum(0) % 7 / 7.0).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(42), x)
+    d = np.asarray(m.apply(v, x))
+    assert d.shape == (1, 512)
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-5)
+    golden = np.array(
+        [0.0, 0.0, 0.058713, 0.000678, 0.0, 0.003501, 0.035502, 0.025343],
+        np.float32,
+    )
+    np.testing.assert_allclose(d[0, :8], golden, atol=2e-4)

@@ -395,9 +395,14 @@ def build_index(
     cfg: IndexConfig = IndexConfig(),
     ids: Optional[Sequence] = None,
     pairs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    whitening_mP: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Index:
-    """Build an exact-search index (learns whitening on the gallery)."""
-    return Index.build(descriptors, cfg=cfg, ids=ids, pairs=pairs)
+    """Build an exact-search index. Whitening is learned on the gallery, or
+    applied from pre-learned ``whitening_mP=(m, P)`` (reference test-time
+    semantics: train-data whitening loaded at eval)."""
+    return Index.build(
+        descriptors, cfg=cfg, ids=ids, pairs=pairs, whitening_mP=whitening_mP
+    )
 
 
 def query(

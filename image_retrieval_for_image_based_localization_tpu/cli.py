@@ -118,6 +118,10 @@ def cmd_evaluate(argv):
     p.add_argument("--whiten-dims", type=int, default=None)
     p.add_argument("--strict-whitening", action="store_true",
                    help="strict-reference PCA (no auto-shrinkage/floor)")
+    p.add_argument("--whitening-file", default=None,
+                   help="npz with pre-learned m/P (e.g. training's "
+                        "whitening.npz) applied instead of learning from "
+                        "the eval gallery (reference test-time semantics)")
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--mesh", default=None, metavar="DxG",
@@ -147,6 +151,11 @@ def cmd_evaluate(argv):
         d, g = (int(v) for v in args.mesh.lower().split("x"))
         mesh = create_mesh([d, g])
 
+    whitening_mP = None
+    if args.whitening_file:
+        z = np.load(args.whitening_file)
+        whitening_mP = (z["m"], z["P"])
+
     dataset = configdataset(args.dataset, args.data_root)
     cfg = _build_extract_cfg(args)
     ex = Extractor(cfg, mesh=mesh)
@@ -165,6 +174,7 @@ def cmd_evaluate(argv):
         logger=MetricsLogger(args.metrics_out, echo=True),
         mesh=mesh,
         use_sharded_index=args.sharded,
+        whitening_mP=whitening_mP,
     )
 
 
@@ -255,6 +265,9 @@ def cmd_build_index(argv):
     p.add_argument("--out", required=True, help="output index .npz")
     p.add_argument("--whitening", default="pca", choices=["pca", "lw", "none"])
     p.add_argument("--whiten-dims", type=int, default=None)
+    p.add_argument("--whitening-file", default=None,
+                   help="npz with pre-learned m/P (e.g. training's "
+                        "whitening.npz) applied instead of learning")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
@@ -262,10 +275,18 @@ def cmd_build_index(argv):
 
     descs = np.load(args.descriptors)
     wh = None if args.whitening == "none" else args.whitening
-    if wh == "lw":
-        p.error("lw whitening needs matching pairs; use the training loop "
-                "(it saves whitening.npz) or Index.build(pairs=...) directly")
-    index = Index.build(descs, IndexConfig(whitening=wh, whiten_dims=args.whiten_dims))
+    whitening_mP = None
+    if args.whitening_file:
+        z = np.load(args.whitening_file)
+        whitening_mP = (z["m"], z["P"])
+    elif wh == "lw":
+        p.error("lw whitening needs matching pairs; pass the training "
+                "loop's saved whitening via --whitening-file, or use "
+                "Index.build(pairs=...) directly")
+    index = Index.build(
+        descs, IndexConfig(whitening=wh, whiten_dims=args.whiten_dims),
+        whitening_mP=whitening_mP,
+    )
     index.save(args.out)
     print(f"built index over {descs.shape} -> {args.out}")
 

@@ -38,8 +38,14 @@ def evaluate_dataset(
     mesh=None,
     use_sharded_index: bool = False,
     dense_rank_limit: int = 50_000,
+    whitening_mP=None,
 ) -> Dict:
-    """Run the full eval pipeline on a TestDataset; returns the mAP results."""
+    """Run the full eval pipeline on a TestDataset; returns the mAP results.
+
+    ``whitening_mP=(m, P)`` applies pre-learned whitening (e.g. the
+    training loop's ``whitening.npz``) instead of learning from the eval
+    gallery — the reference's test-time semantics.
+    """
     logger = logger or MetricsLogger()
     ex = extractor or Extractor(extract_cfg, variables=variables, mesh=mesh)
 
@@ -49,7 +55,7 @@ def evaluate_dataset(
         qd = ex.extract(dataset.query_paths, bbxs=dataset.query_bbxs)
 
     with phase_timer("build_index", logger):
-        index = Index.build(db, index_cfg)
+        index = Index.build(db, index_cfg, whitening_mP=whitening_mP)
 
     if use_sharded_index:
         from image_retrieval_for_image_based_localization_tpu.evaluation.map import (

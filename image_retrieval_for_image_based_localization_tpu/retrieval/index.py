@@ -82,16 +82,26 @@ class Index:
         cfg: IndexConfig = IndexConfig(),
         ids: Optional[Sequence] = None,
         pairs: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        whitening_mP: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> "Index":
         """Learn whitening on the gallery descriptors and build the index.
 
         ``pairs=(qidxs, pidxs)`` enables supervised Lw whitening.
+        ``whitening_mP=(m, P)`` applies a PRE-LEARNED whitening instead of
+        learning from this gallery — the reference's semantics when loading
+        train-data whitening at test time (cirtorch `--whitening
+        retrieval-SfM-120k`; e.g. the ``whitening.npz`` the training loop
+        saves).
         """
         descriptors = np.asarray(descriptors, dtype=np.float32)
         m = P = None
+        if whitening_mP is not None:
+            m = np.asarray(whitening_mP[0], np.float32)
+            P = np.asarray(whitening_mP[1], np.float32)
         learn_set = descriptors
         if (
-            cfg.whitening is not None
+            whitening_mP is None
+            and cfg.whitening is not None
             and cfg.whiten_sample
             and descriptors.shape[0] > cfg.whiten_sample
         ):
@@ -99,7 +109,9 @@ class Index:
                 descriptors.shape[0], cfg.whiten_sample, replace=False
             )
             learn_set = descriptors[np.sort(sel)]
-        if cfg.whitening == "pca":
+        if whitening_mP is not None:
+            pass  # precomputed; nothing to learn
+        elif cfg.whitening == "pca":
             m, P = pca_whiten_learn(
                 learn_set, shrinkage=cfg.shrinkage, strict=cfg.strict_whitening
             )

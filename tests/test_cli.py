@@ -102,3 +102,25 @@ def test_localization_pairs_roundtrip(tmp_path):
     assert pairs[0] == ("qa", "db3") and pairs[2] == ("qb", "db7")
     on_disk = [tuple(l.split()) for l in open(tmp_path / "p.txt")]
     assert on_disk == pairs
+
+
+def test_cli_evaluate_whitening_file(synth_root, tmp_path):
+    """--whitening-file: pre-learned whitening applied at eval (reference
+    test-time semantics); runs end-to-end and prints mAP."""
+    rng = np.random.RandomState(32)
+    d = rng.randn(50, 512).astype(np.float32)
+    from irtpu.ops.whitening import pca_whiten_learn
+
+    m, P = pca_whiten_learn(d)
+    wf = str(tmp_path / "w.npz")
+    np.savez(wf, m=m.astype(np.float32), P=P.astype(np.float32))
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["evaluate", "--dataset", "clitest", "--data-root",
+                   synth_root, "--arch", "resnet18", "--image-size", "64",
+                   "--batch-size", "2", "--whitening", "pca",
+                   "--whitening-file", wf])
+    assert rc == 0
+    assert "mAP" in buf.getvalue()

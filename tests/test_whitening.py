@@ -109,3 +109,34 @@ def test_strict_mode_no_auto_shrinkage():
     assert not np.allclose(Pd, Ps)
     # strict on rank-deficient data amplifies tail dims (reference behavior)
     assert np.abs(Ps).max() > np.abs(Pd).max()
+
+
+def test_index_build_with_precomputed_whitening():
+    """Index.build(whitening_mP=...) applies pre-learned whitening (the
+    reference's test-time semantics: train-data Lw loaded at eval) instead
+    of learning from the gallery."""
+    import jax.numpy as jnp
+    from irtpu.ops.whitening import pca_whiten_learn, whiten_apply
+    from irtpu.retrieval.index import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(31)
+    train = rng.randn(300, 32).astype(np.float32)
+    gallery = rng.randn(100, 32).astype(np.float32) + 0.5  # different stats
+    m, P = pca_whiten_learn(train)
+
+    index = Index.build(gallery, IndexConfig(whitening="pca"),
+                        whitening_mP=(m, P))
+    want = np.asarray(whiten_apply(jnp.asarray(gallery), jnp.asarray(m),
+                                   jnp.asarray(P), None))
+    np.testing.assert_allclose(index.gallery, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(index.m, m, rtol=1e-6)
+    # and it must differ from gallery-learned whitening (different stats)
+    learned = Index.build(gallery, IndexConfig(whitening="pca"))
+    assert not np.allclose(index.gallery, learned.gallery, atol=1e-3)
+    # queries go through the same transform
+    q = rng.randn(3, 32).astype(np.float32)
+    qt = index.transform_queries(q)
+    want_q = np.asarray(whiten_apply(jnp.asarray(q), jnp.asarray(m),
+                                     jnp.asarray(P), None))
+    np.testing.assert_allclose(qt, want_q, rtol=1e-5, atol=1e-6)

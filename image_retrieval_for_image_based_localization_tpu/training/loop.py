@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import collections
 import os
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, Optional, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -177,3 +177,29 @@ def test_sharded_rank_candidates_whitened_index():
     qw = np.asarray(sindex.transform_queries(q))
     want = _np_ranks_of(np.asarray(index.gallery), qw, cand)
     np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_map_empty_ok_queries():
+    """Queries with empty 'ok' lists are nan-excluded from the mean in the
+    streaming path exactly as in the dense path."""
+    rng = np.random.RandomState(7)
+    n_db = 50
+    g = rng.randn(n_db, 8).astype(np.float32)
+    q = rng.randn(3, 8).astype(np.float32)
+    gnd = [
+        {"ok": rng.permutation(n_db)[:4], "junk": []},
+        {"ok": np.array([], np.int64), "junk": []},  # empty query
+        {"ok": rng.permutation(n_db)[:3], "junk": rng.permutation(n_db)[10:14]},
+    ]
+    scores = q @ g.T
+    ranks_full = np.argsort(-scores, axis=1, kind="stable").T
+    want = compute_map_and_print("synth", ranks_full, gnd)
+
+    cand = candidate_matrix(gnd)
+    ranks_all = np.asarray(
+        rank_candidates(jnp.asarray(g), jnp.asarray(q), jnp.asarray(cand))
+    )
+    got = compute_map_streaming_and_print("synth", ranks_all, gnd)
+    assert got["map"] == want["map"]
+    assert np.isnan(got["aps"][1]) and np.isnan(want["aps"][1])
+    np.testing.assert_allclose(got["aps"][[0, 2]], want["aps"][[0, 2]])

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from image_retrieval_for_image_based_localization_tpu.models.resnet import (
@@ -162,7 +163,10 @@ class RetrievalNet(nn.Module):
                     )
                 else:
                     # bucketing guarantees top-left-rectangle validity; the
-                    # masked fused kernel takes (h, w) extents in SMEM
+                    # masked fused kernel takes (h, w) extents in SMEM. A
+                    # caller-supplied mask might not be rectangular, so
+                    # verify (sum(mask) == h*w per row) and fall back to the
+                    # exact any-mask oracle inside netvlad_fused otherwise.
                     sizes = jnp.stack(
                         [
                             jnp.sum(jnp.any(fmask, axis=2), axis=1),
@@ -170,12 +174,23 @@ class RetrievalNet(nn.Module):
                         ],
                         axis=1,
                     ).astype(jnp.int32)
-                    desc = netvlad_fused_rect(
-                        feats.astype(jnp.float32),
-                        centroids,
-                        assign_w,
-                        assign_b,
-                        sizes=sizes,
+                    is_rect = jnp.all(
+                        jnp.sum(fmask.astype(jnp.int32), axis=(1, 2))
+                        == sizes[:, 0] * sizes[:, 1]
+                    )
+                    ff = feats.astype(jnp.float32)
+                    desc = jax.lax.cond(
+                        is_rect,
+                        lambda: netvlad_fused_rect(
+                            ff, centroids, assign_w, assign_b, sizes=sizes
+                        ),
+                        lambda: netvlad_fused(
+                            ff.reshape(ff.shape[0], -1, C),
+                            centroids,
+                            assign_w,
+                            assign_b,
+                            mask=fm,
+                        ),
                     )
             else:
                 desc = netvlad_aggregate(

@@ -283,6 +283,7 @@ def netvlad_fused_rect(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def netvlad_fused(
     x: jnp.ndarray,
     centroids: jnp.ndarray,

@@ -22,6 +22,7 @@ covariances are precision-sensitive); application is jnp and jit-able.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
@@ -51,6 +52,13 @@ def pca_whiten_learn(
     N, D = X.shape
     if not strict and shrinkage == 0.0 and N < D:
         shrinkage = 0.1
+        # This default is load-bearing and deviates from the reference's
+        # math — make it impossible to miss in parity runs.
+        logging.getLogger(__name__).warning(
+            "pca_whiten_learn: N=%d < D=%d — auto-shrinkage 0.1 engaged "
+            "(deviates from reference math; pass strict=True for parity "
+            "runs)", N, D,
+        )
     floor = (lambda ev: np.maximum(ev, 1e-300)) if strict else (
         lambda ev: np.maximum(ev, max(ev.max(), 0.0) * 1e-10 + 1e-300)
     )

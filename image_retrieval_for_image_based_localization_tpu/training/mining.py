@@ -128,11 +128,16 @@ def mine_hard_negatives(
         cand, qidxs, pidxs,
         None if clusters is None else np.asarray(clusters), n_neg,
     )
-    # degenerate tiny pools: fill shortfalls with random non-q/p images
+    # degenerate tiny pools: fill shortfalls with random non-q/p images.
+    # Bounded retries: a degenerate sample (e.g. poolsize 1-2 that is
+    # exactly {q, p}) must not spin forever, so after the retry budget fall
+    # back to a deterministic scan of the global pool for any non-q/p index.
     short_rows = np.nonzero((nidxs < 0).any(axis=1))[0]
     for qi in short_rows:
         picked = [int(v) for v in nidxs[qi] if v >= 0]
-        while len(picked) < n_neg:
+        tries = 0
+        while len(picked) < n_neg and tries < 64:
+            tries += 1
             filler = (
                 rng.randint(0, N)
                 if neg_pool is None
@@ -140,6 +145,17 @@ def mine_hard_negatives(
             )
             if filler != qidxs[qi] and filler != pidxs[qi]:
                 picked.append(filler)
+        if len(picked) < n_neg:
+            fallback = [
+                i for i in range(N) if i != qidxs[qi] and i != pidxs[qi]
+            ]
+            if not fallback:
+                raise ValueError(
+                    "mining pool contains only the query and its positive; "
+                    "cannot fill negatives"
+                )
+            while len(picked) < n_neg:
+                picked.append(fallback[len(picked) % len(fallback)])
         nidxs[qi] = picked
     return TupleSet(qidxs=qidxs, pidxs=pidxs, nidxs=nidxs)
 

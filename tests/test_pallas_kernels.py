@@ -231,6 +231,30 @@ def test_model_pallas_netvlad_masked_head_matches_oracle():
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
 
 
+def test_model_pallas_netvlad_nonrect_mask_falls_back_to_oracle():
+    """An arbitrary (non-rectangular) mask through the public use_pallas
+    NetVLAD path must produce the exact oracle descriptors, not silently
+    wrong rect-kernel output (ADVICE r2)."""
+    import jax
+    from irtpu.models import RetrievalNet
+
+    m_pallas = RetrievalNet(
+        arch="resnet18", pooling="netvlad", netvlad_clusters=4, use_pallas=True
+    )
+    m_oracle = RetrievalNet(
+        arch="resnet18", pooling="netvlad", netvlad_clusters=4, use_pallas=False
+    )
+    rng = np.random.RandomState(17)
+    x = rng.rand(2, 64, 96, 3).astype(np.float32)
+    # checkerboard-ish holes: definitely not a top-left rectangle
+    mask = rng.rand(2, 64, 96) > 0.35
+    mask[:, 0, 0] = True
+    v = m_oracle.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    d1 = np.asarray(m_pallas.apply(v, jnp.asarray(x), mask=jnp.asarray(mask)))
+    d2 = np.asarray(m_oracle.apply(v, jnp.asarray(x), mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+
+
 def test_bottleneck_fused_matches_oracle():
     """VMEM-resident fused bottleneck vs the XLA composition, including
     border tiles (zero-pad halo) and multi-tile interiors."""

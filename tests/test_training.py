@@ -60,6 +60,22 @@ class TestMining:
         assert clusters[ts.nidxs[0][0]] != clusters[ts.nidxs[0][1]]
 
 
+    def test_degenerate_pool_mining_terminates(self):
+        # neg_pool containing only {query, positive} used to spin forever in
+        # the random-filler loop (ADVICE r2); now it falls back to any
+        # non-q/p global index after a bounded number of draws.
+        vecs = np.eye(3, 4, dtype=np.float32)
+        ts = mine_hard_negatives(
+            vecs, [0], [1], n_neg=2, neg_pool=np.array([0, 1])
+        )
+        assert ts.nidxs.shape == (1, 2)
+        assert all(n == 2 for n in ts.nidxs[0])
+
+    def test_pool_of_only_query_and_positive_raises(self):
+        vecs = np.eye(2, 4, dtype=np.float32)
+        with np.testing.assert_raises(ValueError):
+            mine_hard_negatives(vecs, [0], [1], n_neg=2)
+
     def test_vectorized_filter_matches_sequential_reference(self):
         """The vectorized candidate filter must reproduce the reference's
         sequential scan (skip self/positive/same-cluster, one per cluster,

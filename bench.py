@@ -10,7 +10,8 @@ throughput. Also measures exact-kNN queries/sec on a 100k-descriptor
 gallery (aux field).
 
 Configuration: ResNet-50 + GeM (graded config 2's model), 1024x1024 input,
-bfloat16 trunk compute, fused Pallas GeM+L2N head, steady-state timing.
+bfloat16 trunk compute, fused Pallas GeM+L2N head, scoped-VMEM compiler
+options (utils.tuning — measured +7% on this rig), steady-state timing.
 
 Methodology notes (hard-won on this rig):
   * inputs are generated ON DEVICE (host->device of 100MB batches through
@@ -19,6 +20,13 @@ Methodology notes (hard-won on this rig):
   * through the tunnel ``block_until_ready`` does not actually wait —
     completion is forced by device->host transfer of every output
     (descriptors land on host in real retrieval anyway);
+  * 16 iterations per timed group: queue depth amortizes the tunnel's
+    non-pipelining dispatch cost (measured: 4 iters -> ~525 img/s, 16 ->
+    ~556, both with identical device time per iter);
+  * throughput numbers are the MEDIAN over several timed groups, and the
+    kNN phase also reports a same-process HBM streaming micro-probe (GB/s)
+    so day-to-day rig bandwidth drift (22-66 GB/s observed across rounds)
+    can be normalized out when comparing rounds (VERDICT r2 weak #1);
   * persistent compilation cache keeps repeated runs fast.
 """
 
@@ -26,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 import numpy as np
@@ -44,16 +53,19 @@ def main():
     from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
         knn_search,
     )
+    from image_retrieval_for_image_based_localization_tpu.utils.tuning import (
+        tpu_compiler_options,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # batch 128 is the measured throughput peak on this rig (492.8 img/s
-        # vs 465.9 at b96, 450.5 at b160 — PERF.md batch-scaling table)
-        batch, size, iters, warmup = 128, 1024, 4, 1
-        Ng, D, nq = 100_000, 2048, 256
+        # batch 128 is the measured throughput peak on this rig (PERF.md
+        # batch-scaling table); 16 iters/group amortizes dispatch
+        batch, size, iters, groups = 128, 1024, 16, 3
+        Ng, D, nq, knn_reps = 100_000, 2048, 256, 5
     else:  # CPU fallback keeps the script runnable anywhere
-        batch, size, iters, warmup = 2, 128, 3, 1
-        Ng, D, nq = 2_000, 256, 16
+        batch, size, iters, groups = 2, 128, 3, 2
+        Ng, D, nq, knn_reps = 2_000, 256, 16, 3
 
     model = RetrievalNet(
         arch="resnet50", pooling="gem", dtype=jnp.bfloat16, use_pallas=on_tpu
@@ -64,18 +76,19 @@ def main():
     # activation memory for no reason
     variables = model.init(jax.random.PRNGKey(1), pixels[:1])
 
-    @jax.jit
-    def forward(variables, pixels):
-        return model.apply(variables, pixels)
+    forward = jax.jit(
+        lambda v, p: model.apply(v, p), compiler_options=tpu_compiler_options()
+    )
 
-    for _ in range(warmup):
-        np.asarray(forward(variables, pixels))
+    np.asarray(forward(variables, pixels))  # compile + warm
 
-    t0 = time.perf_counter()
-    outs = [forward(variables, pixels) for _ in range(iters)]
-    outs = [np.asarray(o) for o in outs]  # overlapped dispatch, full drain
-    dt = time.perf_counter() - t0
-    img_per_sec = batch * iters / dt
+    rates = []
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        outs = [forward(variables, pixels) for _ in range(iters)]
+        outs = [np.asarray(o) for o in outs]  # overlapped dispatch, full drain
+        rates.append(batch * iters / (time.perf_counter() - t0))
+    img_per_sec = statistics.median(rates)
 
     # free the conv working set before the kNN phase (large batches + the
     # 100k gallery together can exhaust HBM on a long-lived process)
@@ -84,15 +97,57 @@ def main():
 
     gc.collect()
 
-    # auxiliary: exact kNN queries/sec over a large gallery
+    # auxiliary: exact kNN queries/sec over a large gallery (median of reps)
     kg, kq = jax.random.split(jax.random.PRNGKey(2))
     gallery = jax.random.normal(kg, (Ng, D), jnp.float32)
     queries = jax.random.normal(kq, (nq, D), jnp.float32)
     np.asarray(knn_search(gallery, queries, k=100)[0])  # compile
-    t0 = time.perf_counter()
-    rs = [knn_search(gallery, queries, k=100) for _ in range(3)]
-    rs = [np.asarray(s) for s, _ in rs]
-    qps = nq * 3 / (time.perf_counter() - t0)
+    qps_reps = []
+    for _ in range(knn_reps):
+        t0 = time.perf_counter()
+        rs = [knn_search(gallery, queries, k=100) for _ in range(3)]
+        rs = [np.asarray(s) for s, _ in rs]
+        qps_reps.append(nq * 3 / (time.perf_counter() - t0))
+    qps = statistics.median(qps_reps)
+
+    # dispatch-amortized variants: several query batches inside ONE jitted
+    # program (lax.map) — a single 256-query call through this rig's tunnel
+    # costs a flat ~32 ms dispatch vs ~12 ms device compute, so the
+    # single-call q/s mostly measures relay latency (that is why identical
+    # code benched 20.7k q/s in round 1 and 5.8-8.4k in round 2).
+    #   knn_qps_amortized: device search capability, dispatch amortized 8x.
+    #   dense_floor_qps / hbm_probe_gbs: the same map over the PLAIN score
+    #   matmul (max-reduced) — the selection-free upper bound, whose
+    #   gallery-streaming rate doubles as the HBM drift normalizer.
+    from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+        score_matrix,
+        streaming_topk,
+    )
+
+    n_stack = 8 if on_tpu else 2
+    qstack = jax.random.normal(jax.random.PRNGKey(7), (n_stack, nq, D), jnp.float32)
+
+    @jax.jit
+    def multi_search(g, qs):
+        return jax.lax.map(lambda q: streaming_topk(g, q, k=100), qs)
+
+    @jax.jit
+    def multi_dense(g, qs):
+        return jax.lax.map(lambda q: jnp.max(score_matrix(g, q), axis=-1), qs)
+
+    np.asarray(multi_search(gallery, qstack)[0])
+    np.asarray(multi_dense(gallery, qstack))
+    amort_reps, dense_reps = [], []
+    for _ in range(knn_reps):
+        t0 = time.perf_counter()
+        np.asarray(multi_search(gallery, qstack)[0])
+        amort_reps.append(n_stack * nq / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        np.asarray(multi_dense(gallery, qstack))
+        dense_reps.append(n_stack * nq / (time.perf_counter() - t0))
+    qps_amort = statistics.median(amort_reps)
+    dense_qps = statistics.median(dense_reps)
+    hbm_gbs = dense_qps / nq * Ng * D * 4 / 1e9  # gallery bytes per second
 
     target_per_chip = 5000.0 / 8.0  # BASELINE.json:5 north star, per chip
     print(
@@ -103,7 +158,12 @@ def main():
                 "unit": "images/sec (1 chip, resnet50+gem bf16 @1024px)",
                 "vs_baseline": round(img_per_sec / target_per_chip, 4),
                 "aux": {
-                    "knn_queries_per_sec_100k_gallery": round(qps, 1),
+                    "extract_group_rates": [round(r, 1) for r in rates],
+                    "knn_qps_median": round(qps, 1),
+                    "knn_qps_reps": [round(r, 1) for r in qps_reps],
+                    "knn_qps_amortized": round(qps_amort, 1),
+                    "dense_floor_qps": round(dense_qps, 1),
+                    "hbm_probe_gbs": round(hbm_gbs, 1),
                     "backend": jax.default_backend(),
                     "batch": batch,
                     "image_size": size,

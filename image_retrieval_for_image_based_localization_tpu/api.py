@@ -216,6 +216,11 @@ class Extractor:
             x = x * mask[..., None]  # legacy zero-padding in normalized space
             return forward(variables, x, mask)
 
+        from image_retrieval_for_image_based_localization_tpu.utils.tuning import (
+            tpu_compiler_options,
+        )
+
+        copts = tpu_compiler_options()
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -225,14 +230,16 @@ class Extractor:
                 forward_u8,
                 in_shardings=(rep, data_sharding, data_sharding),
                 out_shardings=data_sharding,
+                compiler_options=copts,
             )
             return jax.jit(
                 forward,
                 in_shardings=(rep, data_sharding, data_sharding),
                 out_shardings=data_sharding,
+                compiler_options=copts,
             )
-        self._forward_u8 = jax.jit(forward_u8)
-        return jax.jit(forward)
+        self._forward_u8 = jax.jit(forward_u8, compiler_options=copts)
+        return jax.jit(forward, compiler_options=copts)
 
     # -- user-facing ---------------------------------------------------------
 

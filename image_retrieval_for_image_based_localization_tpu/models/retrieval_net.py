@@ -197,7 +197,11 @@ class RetrievalNet(nn.Module):
                     feats.astype(jnp.float32), centroids, assign_w, assign_b, mask=fm
                 )
         else:
-            feats = feats.astype(jnp.float32)
+            if not (self.use_pallas and self.pooling == "gem"):
+                # the fused Pallas head upcasts per-VMEM-chunk in-kernel;
+                # casting here would materialize an f32 copy of the feature
+                # map in HBM (measured ~7 ms/iter at b128 resnet50 @1024)
+                feats = feats.astype(jnp.float32)
             if self.pooling == "gem":
                 if self.gem_p_trainable:
                     p = self.param(
@@ -237,7 +241,33 @@ class RetrievalNet(nn.Module):
             elif self.pooling == "spoc":
                 pooled = spoc(feats, mask=fmask)
             elif self.pooling == "rmac":
-                pooled = rmac(feats, mask=fmask)
+                if fmask is None:
+                    pooled = rmac(feats)
+                else:
+                    # bucketed batches: per-image region grids from the
+                    # valid (h, w) extents — reference-exact per image
+                    # (ops.pooling.rmac_bucketed). Non-rectangular masks
+                    # fall back to the padded-grid masked approximation.
+                    from image_retrieval_for_image_based_localization_tpu.ops.pooling import (
+                        rmac_bucketed,
+                    )
+
+                    sizes = jnp.stack(
+                        [
+                            jnp.sum(jnp.any(fmask, axis=2), axis=1),
+                            jnp.sum(jnp.any(fmask, axis=1), axis=1),
+                        ],
+                        axis=1,
+                    ).astype(jnp.int32)
+                    is_rect = jnp.all(
+                        jnp.sum(fmask.astype(jnp.int32), axis=(1, 2))
+                        == sizes[:, 0] * sizes[:, 1]
+                    )
+                    pooled = jax.lax.cond(
+                        is_rect,
+                        lambda: rmac_bucketed(feats, sizes),
+                        lambda: rmac(feats, mask=fmask),
+                    )
             else:
                 raise ValueError(f"unknown pooling {self.pooling!r}")
             desc = l2n(pooled)

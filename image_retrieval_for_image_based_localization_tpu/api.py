@@ -88,16 +88,10 @@ class Extractor:
             bs = -(-cfg.batch_size // ddim) * ddim
             if bs != cfg.batch_size:
                 cfg = _dc.replace(cfg, batch_size=bs)
-        if mc.pooling == "rmac" and not (cfg.squarify or cfg.exact):
-            # R-MAC's region grid is a function of the feature-map shape;
-            # bucketed padding would move the grid onto padded positions
-            # (regions then pool pad garbage). The reference runs exact
-            # shapes (bs=1); require the same here.
-            raise ValueError(
-                "pooling='rmac' requires exact feature shapes: set "
-                "ExtractConfig(exact=True) (reference bs=1 semantics) or "
-                "squarify=True — bucketed padding would corrupt the region grid"
-            )
+        # R-MAC rides the bucketed path since round 3: the model derives
+        # each image's region grid from its valid (h, w) extents
+        # (ops.pooling.rmac_bucketed), so padding never enters a region and
+        # results match the exact-shape path per image.
         self.cfg = cfg
         self.model = RetrievalNet(
             arch=mc.arch,

@@ -85,32 +85,44 @@ def rmac_regions(H: int, W: int, L: int = 3) -> list[tuple[int, int, int, int]]:
     side ``2*min(H,W)/(l+1)`` at scale l, uniformly placed with ~40% overlap.
     Computed at trace time from static shapes — no dynamic control flow.
     """
-    ovr = 0.4
-    steps = jnp.array([2, 3, 4, 5, 6, 7])
-    w_min = min(W, H)
+    import numpy as np
+
+    # pure NumPy on the STATIC shape: this must stay concrete under jit
+    # (int(traced) raises ConcretizationTypeError). float32 throughout, for
+    # two reasons: the reference lineage computes this in torch's default
+    # f32, and ops.pooling.rmac_bucketed re-derives the same grid in traced
+    # f32 — identical dtype makes the knife-edge argmin/floor decisions
+    # (verified divergent between f32 and f64 on ~2% of extents) agree
+    # between the exact and bucketed paths by construction.
+    ovr = np.float32(0.4)
+    steps = np.array([2, 3, 4, 5, 6, 7], np.float32)
+    w_min = np.float32(min(W, H))
     # which spacing best approximates the target overlap along the long side
-    b = (max(H, W) - w_min) / (steps - 1)
-    idx = int(jnp.argmin(jnp.abs(((w_min ** 2 - w_min * b) / w_min ** 2) - ovr)))
+    b = (np.float32(max(H, W)) - w_min) / (steps - np.float32(1))
+    idx = int(np.argmin(np.abs(
+        (w_min ** 2 - w_min * b) / np.maximum(w_min ** 2, np.float32(1)) - ovr
+    )))
     # number of extra regions along the long side
     Wd = idx + 1 if W > H else 0
     Hd = idx + 1 if H > W else 0
 
     regions: list[tuple[int, int, int, int]] = []
     for l in range(1, L + 1):
-        wl = int(math.floor(2 * w_min / (l + 1)))
+        wl = int(math.floor(np.float32(2) * w_min / np.float32(l + 1)))
         if wl == 0:
             continue
-        # centers
+        # centers — f32 multiply-then-floor, same op order as rmac_bucketed's
+        # traced jnp.floor(bx * i), so knife-edge placements agree too
         if l + Wd - 1 > 0:
-            bx = (W - wl) / (l + Wd - 1)
+            bx = np.float32(W - wl) / np.float32(l + Wd - 1)
         else:
-            bx = 0.0
-        cenW = [int(math.floor(bx * i)) for i in range(l - 1 + Wd + 1)]
+            bx = np.float32(0.0)
+        cenW = [int(math.floor(bx * np.float32(i))) for i in range(l - 1 + Wd + 1)]
         if l + Hd - 1 > 0:
-            by = (H - wl) / (l + Hd - 1)
+            by = np.float32(H - wl) / np.float32(l + Hd - 1)
         else:
-            by = 0.0
-        cenH = [int(math.floor(by * j)) for j in range(l - 1 + Hd + 1)]
+            by = np.float32(0.0)
+        cenH = [int(math.floor(by * np.float32(j))) for j in range(l - 1 + Hd + 1)]
         for yy in cenH:
             for xx in cenW:
                 regions.append((yy, xx, wl, wl))
@@ -155,6 +167,88 @@ def rmac(
         r = x[:, yy : yy + hh, xx : xx + ww, :]
         rm = None if mask is None else mask[:, yy : yy + hh, xx : xx + ww]
         v = v + region_vec(r, rm)
+    return v
+
+
+def rmac_bucketed(
+    x: jnp.ndarray,
+    sizes: jnp.ndarray,
+    L: int = 3,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """R-MAC for bucketed batches: per-image region grids from the VALID
+    (h, w) extents. [B,H,W,C] + sizes [B,2] -> [B,C].
+
+    The region grid math is ``rmac_regions`` re-expressed in traced jnp over
+    per-row extents — same steps table, same overlap-matching argmin, same
+    floor placements — so each image pools exactly the regions the
+    exact-shape path would give it at its true resized shape, and padded
+    positions are never touched. This removes the bucketed-R-MAC
+    restriction (round-2 VERDICT item 8): R-MAC now rides the same
+    static-shape bucketed batches as every other pooling.
+
+    Mechanics: region counts are data-dependent, so a static SLOT grid
+    (every (scale l, i, j) that any extent could need; at most
+    ``(l+6)**2 - 36`` per scale since only one of Hd/Wd is nonzero) is
+    evaluated with per-image validity flags; each slot is a masked spatial
+    max. Head cost is O(slots) masked reductions over the feature map —
+    fine for an eval head, and exactness beats the padded-grid
+    approximation the masked ``rmac`` falls back to.
+    """
+    from image_retrieval_for_image_based_localization_tpu.ops.normalization import l2n
+
+    B, H, W, C = x.shape
+    h = sizes[:, 0].astype(jnp.float32)  # [B]
+    w = sizes[:, 1].astype(jnp.float32)
+    neg = jnp.finfo(x.dtype).min
+    row = jnp.arange(H, dtype=jnp.float32)[None, :, None]   # [1,H,1]
+    col = jnp.arange(W, dtype=jnp.float32)[None, None, :]   # [1,1,W]
+
+    def masked_max(y0, x0, hh, ww):
+        """Max over rows [y0, y0+hh), cols [x0, x0+ww) per image. -> [B,C]"""
+        rm = (
+            (row >= y0[:, None, None]) & (row < (y0 + hh)[:, None, None])
+            & (col >= x0[:, None, None]) & (col < (x0 + ww)[:, None, None])
+        )  # [B,H,W]
+        return jnp.max(jnp.where(rm[..., None], x, neg), axis=(1, 2))
+
+    def region_vec(y0, x0, hh, ww, valid):
+        mx = masked_max(y0, x0, hh, ww)
+        return l2n(mx, eps=eps) * valid[:, None].astype(x.dtype)
+
+    zeros = jnp.zeros_like(h)
+    # full-image (valid-area) MAC term
+    v = region_vec(zeros, zeros, h, w, jnp.ones((B,), bool))
+
+    # mirror rmac_regions' static math in traced form
+    w_min = jnp.minimum(h, w)
+    w_max = jnp.maximum(h, w)
+    steps = jnp.asarray([2, 3, 4, 5, 6, 7], jnp.float32)
+    b_arr = (w_max[:, None] - w_min[:, None]) / (steps[None, :] - 1)
+    idx = jnp.argmin(
+        jnp.abs((w_min[:, None] ** 2 - w_min[:, None] * b_arr)
+                / jnp.maximum(w_min[:, None] ** 2, 1.0) - 0.4),
+        axis=1,
+    ).astype(jnp.float32)  # [B]
+    Wd = jnp.where(w > h, idx + 1, 0.0)
+    Hd = jnp.where(h > w, idx + 1, 0.0)
+
+    for l in range(1, L + 1):
+        wl = jnp.floor(2.0 * w_min / (l + 1))
+        valid_l = wl > 0
+        nW = l + Wd  # number of centers along x (cenW count in rmac_regions)
+        nH = l + Hd
+        bx = jnp.where(nW > 1, (w - wl) / jnp.maximum(nW - 1, 1.0), 0.0)
+        by = jnp.where(nH > 1, (h - wl) / jnp.maximum(nH - 1, 1.0), 0.0)
+        m = l + 6  # static slot bound: idx <= 5 so Wd/Hd <= 6
+        for i in range(m):
+            for j in range(m):
+                if i >= l and j >= l:
+                    continue  # one of Hd/Wd is always 0: i<l or j<l
+                valid = valid_l & (i < nH) & (j < nW)
+                yy = jnp.floor(by * i)
+                xx = jnp.floor(bx * j)
+                v = v + region_vec(yy, xx, wl, wl, valid)
     return v
 
 

@@ -156,15 +156,55 @@ class TestRMACMasked:
         np.testing.assert_allclose(got, ref, rtol=1e-6)
         assert np.isfinite(got).all()
 
-    def test_extractor_rejects_rmac_with_bucketed_padding(self):
-        import pytest
+    def test_extractor_accepts_rmac_with_bucketed_padding(self):
+        """Since round 3 R-MAC rides the bucketed path (per-image region
+        grids from valid extents, ops.pooling.rmac_bucketed) — the old
+        ValueError guard is gone and both modes construct."""
         from irtpu.api import Extractor
         from irtpu.utils.config import ExtractConfig, ModelConfig
 
-        with pytest.raises(ValueError, match="rmac"):
-            Extractor(ExtractConfig(model=ModelConfig(arch="resnet18", pooling="rmac")))
-        # exact mode is accepted
+        Extractor(ExtractConfig(model=ModelConfig(arch="resnet18", pooling="rmac")))
         Extractor(ExtractConfig(
             model=ModelConfig(arch="resnet18", pooling="rmac"), exact=True,
             image_size=64,
         ))
+
+
+def test_rmac_bucketed_matches_exact_shapes():
+    """Per-image traced region grids == the exact-shape static grid, for a
+    batch of mixed shapes padded into one bucket (VERDICT r3 item 8)."""
+    from irtpu.ops.pooling import rmac, rmac_bucketed
+
+    rng = np.random.RandomState(0)
+    # includes knife-edge extents where the overlap argmin is a near-tie —
+    # (5,9), (2,32), (3,33) diverged between f64 and f32 grid math before
+    # rmac_regions was pinned to f32 (round-3 review finding)
+    shapes = [(12, 16), (16, 16), (7, 13), (16, 9), (3, 5),
+              (5, 9), (2, 32), (3, 33)]
+    H = W = 33
+    C = 24
+    batch = np.zeros((len(shapes), H, W, C), np.float32)
+    sizes = np.zeros((len(shapes), 2), np.int32)
+    want = []
+    for r, (h, w) in enumerate(shapes):
+        x = rng.randn(h, w, C).astype(np.float32)
+        batch[r, :h, :w] = x
+        sizes[r] = (h, w)
+        want.append(np.asarray(rmac(jnp.asarray(x[None]))[0]))
+    got = np.asarray(rmac_bucketed(jnp.asarray(batch), jnp.asarray(sizes)))
+    np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-5)
+
+
+def test_rmac_bucketed_ignores_padding():
+    from irtpu.ops.pooling import rmac_bucketed
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 12, 12, 8).astype(np.float32)
+    a = np.array(x)
+    b = np.array(x)
+    b[:, 9:, :, :] = 100.0   # garbage in padding
+    b[:, :, 10:, :] = -50.0
+    sizes = np.array([[9, 10], [9, 10]], np.int32)
+    da = np.asarray(rmac_bucketed(jnp.asarray(a), jnp.asarray(sizes)))
+    db = np.asarray(rmac_bucketed(jnp.asarray(b), jnp.asarray(sizes)))
+    np.testing.assert_array_equal(da, db)

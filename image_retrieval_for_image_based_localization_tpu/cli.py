@@ -43,6 +43,11 @@ def _model_args(p: argparse.ArgumentParser):
     p.add_argument("--pallas", action="store_true", help="use fused Pallas head")
     p.add_argument("--checkpoint", default=None,
                    help="orbax checkpoint dir (or torch state_dict .pth) to load")
+    p.add_argument("--network", default=None,
+                   help="pretrained zoo network name (reference "
+                        "--network-path flow): verify-or-fetch the .pth, "
+                        "rebuild the model from its meta, port the weights, "
+                        "and use its pre-learned Lw whitening if present")
 
 
 def _build_extract_cfg(args):
@@ -67,6 +72,27 @@ def _build_extract_cfg(args):
         upscale=args.upscale,
         resize_filter=args.resize_filter,
     )
+
+
+def _resolve_network(args):
+    """--network NAME: verify-or-fetch a pretrained zoo .pth and port it.
+
+    Mutates args.arch/pooling/whiten_dim to the checkpoint meta's values
+    (so _build_extract_cfg builds the matching model) and returns
+    (variables, whitening_mP_or_None).
+    """
+    if getattr(args, "network", None) is None:
+        return None, None
+    from image_retrieval_for_image_based_localization_tpu.models.zoo import (
+        load_pretrained,
+    )
+
+    root = getattr(args, "data_root", None) or "data"
+    model, variables, mP = load_pretrained(args.network, data_root=root)
+    args.arch = model.arch
+    args.pooling = model.pooling
+    args.whiten_dim = model.whiten_dim
+    return variables, mP
 
 
 def _load_variables(args, model):
@@ -95,13 +121,16 @@ def cmd_extract(argv):
     _model_args(p)
     p.add_argument("--images", nargs="+", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--data-root", default="data",
+                   help="cache root for --network checkpoint fetch")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.api import Extractor
 
+    net_vars, _ = _resolve_network(args)
     cfg = _build_extract_cfg(args)
     ex = Extractor(cfg)
-    variables = _load_variables(args, ex.model)
+    variables = _load_variables(args, ex.model) or net_vars
     if variables is not None:
         ex = Extractor(cfg, variables=variables)
     descs = ex.extract(args.images, progress=True)
@@ -151,10 +180,11 @@ def cmd_evaluate(argv):
         d, g = (int(v) for v in args.mesh.lower().split("x"))
         mesh = create_mesh([d, g])
 
-    whitening_mP = None
+    net_vars, net_mP = _resolve_network(args)
+    whitening_mP = net_mP
     if args.whitening_file:
         z = np.load(args.whitening_file)
-        whitening_mP = (z["m"], z["P"])
+        whitening_mP = (z["m"], z["P"])  # overrides the network's Lw
 
     from image_retrieval_for_image_based_localization_tpu.data.download import (
         TEST_MANIFESTS,
@@ -168,7 +198,7 @@ def cmd_evaluate(argv):
     dataset = configdataset(args.dataset, args.data_root)
     cfg = _build_extract_cfg(args)
     ex = Extractor(cfg, mesh=mesh)
-    variables = _load_variables(args, ex.model)
+    variables = _load_variables(args, ex.model) or net_vars
     if variables is not None:
         ex = Extractor(cfg, variables=variables, mesh=mesh)
     evaluate_dataset(
@@ -340,6 +370,8 @@ def cmd_shortlist(argv):
     p.add_argument("--db-names", default=None,
                    help="optional text file, one db image name per line")
     p.add_argument("--out", required=True, help="pairs file to write")
+    p.add_argument("--data-root", default="data",
+                   help="cache root for --network checkpoint fetch")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.api import Extractor
@@ -349,9 +381,10 @@ def cmd_shortlist(argv):
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
 
     index = Index.load(args.index)
+    net_vars, _ = _resolve_network(args)
     cfg = _build_extract_cfg(args)
     ex = Extractor(cfg)
-    variables = _load_variables(args, ex.model)
+    variables = _load_variables(args, ex.model) or net_vars
     if variables is not None:
         ex = Extractor(cfg, variables=variables)
     qd = ex.extract(args.images)

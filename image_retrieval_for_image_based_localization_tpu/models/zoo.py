@@ -110,3 +110,72 @@ def load_model(
                 "batch_stats": tree.get("batch_stats", {}),
             }
     return model, variables
+
+
+def meta_from_cirtorch(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """cirtorch checkpoint ``meta`` dict -> this framework's meta contract.
+
+    cirtorch stores {'architecture', 'pooling', 'whitening'(bool),
+    'outputdim', 'mean', 'std', 'regional', optionally 'Lw'}; the pooling
+    field may itself be a dict for NetVLAD variants.
+    """
+    arch = meta.get("architecture", meta.get("arch", "resnet101"))
+    pooling = meta.get("pooling", "gem")
+    if isinstance(pooling, dict):  # older layouts: {'name': ..., ...}
+        pooling = pooling.get("name", "gem")
+    out: Dict[str, Any] = {"arch": arch, "pooling": pooling}
+    if meta.get("whitening"):
+        out["whiten_dim"] = int(meta.get("outputdim", 0)) or None
+    return out
+
+
+def cirtorch_Lw(meta: Dict[str, Any], dataset: str = "retrieval-SfM-120k"):
+    """Extract pre-learned supervised whitening (m, P) from a cirtorch
+    checkpoint's ``meta['Lw']``, reference test-time semantics: applied to
+    descriptors at eval (``Index.build(..., whitening_mP=...)``). Returns
+    None when the checkpoint carries no Lw."""
+    import numpy as np
+
+    lw = meta.get("Lw") or {}
+    entry = lw.get(dataset) if isinstance(lw, dict) else None
+    if entry is None and isinstance(lw, dict) and lw:
+        entry = next(iter(lw.values()))  # any dataset's Lw
+    if not isinstance(entry, dict) or "m" not in entry or "P" not in entry:
+        return None
+    m = np.asarray(entry["m"], dtype=np.float64).reshape(-1)
+    P = np.asarray(entry["P"], dtype=np.float64)
+    return m, P
+
+
+def load_pretrained(
+    name: str,
+    data_root: str = "data",
+    whitening_dataset: str = "retrieval-SfM-120k",
+    zoo_manifests=None,
+):
+    """Fetch (or verify on disk) a pretrained zoo checkpoint and port it.
+
+    The reference's `init_network(pretrained-name)` + download flow in one
+    call: ``data.download.download_network`` resolves/downloads the ``.pth``,
+    the cirtorch ``meta`` dict rebuilds the model, the ``state_dict`` ports
+    to Flax variables, and any pre-learned Lw whitening comes back as
+    ``(m, P)`` ready for ``retrieval.index.Index.build(whitening_mP=...)``.
+
+    Returns ``(model, variables, whitening_mP_or_None)``.
+    """
+    import torch
+
+    from image_retrieval_for_image_based_localization_tpu.data.download import (
+        download_network,
+    )
+    from image_retrieval_for_image_based_localization_tpu.models.torch_port import (
+        port_retrieval_net,
+    )
+
+    path = download_network(data_root, name, manifests=zoo_manifests)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    meta = ckpt.get("meta", {}) if isinstance(ckpt, dict) else {}
+    sd = ckpt.get("state_dict", ckpt)
+    model = create_model_from_meta(meta_from_cirtorch(meta))
+    variables = port_retrieval_net(sd, model.arch)
+    return model, variables, cirtorch_Lw(meta, whitening_dataset)

@@ -259,3 +259,105 @@ def test_cli_download_verifies(tmp_path, monkeypatch, capsys):
         main(["download", "rparis6k", "--data-root", str(tmp_path)])
     with pytest.raises(SystemExit):
         main(["download", "not-a-thing", "--data-root", str(tmp_path)])
+
+
+def _make_fake_network(root):
+    """Write a cirtorch-layout pretrained checkpoint (numeric-Sequential
+    keys, meta dict with Lw whitening) as ``root/fake-net.pth``; return
+    (torch_trunk, m, P)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_oracles import randomize_bn_stats, resnet18_trunk
+
+    torch.manual_seed(3)
+    tm = randomize_bn_stats(resnet18_trunk(), 5).eval()
+    # cirtorch numeric nn.Sequential key layout
+    seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+           "layer3": "6", "layer4": "7"}
+    sd = {}
+    for k, v in tm.state_dict().items():
+        head, _, tail = k.partition(".")
+        sd[f"features.{seq[head]}" + ("." + tail if tail else "")] = v
+    sd["pool.p"] = torch.tensor(3.0)
+    rng = np.random.RandomState(0)
+    m_w = rng.randn(512) * 0.01
+    P_w = rng.randn(512, 512) * 0.05 + np.eye(512)
+    meta = {
+        "architecture": "resnet18", "pooling": "gem", "whitening": False,
+        "outputdim": 512,
+        "Lw": {"retrieval-SfM-120k": {"m": m_w, "P": P_w}},
+    }
+    torch.save({"state_dict": sd, "meta": meta}, root / "fake-net.pth")
+    return tm, m_w, P_w
+
+
+def test_load_pretrained_end_to_end(http_root, tmp_path, monkeypatch):
+    """The reference's download-pretrained-then-eval flow in one call:
+    a cirtorch-layout checkpoint served over local HTTP, fetched by
+    load_pretrained, ported, and driven to descriptors that match the
+    torch oracle."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from irtpu.data.download import Artifact
+    from irtpu.models.zoo import load_pretrained
+
+    root, url = http_root
+    monkeypatch.delenv("IRTPU_OFFLINE", raising=False)
+    tm, m_w, P_w = _make_fake_network(root)
+
+    zoo = {"fake-net": Artifact(f"{url}/fake-net.pth", "networks/fake-net.pth")}
+    model, variables, mP = load_pretrained(
+        "fake-net", data_root=str(tmp_path), zoo_manifests=zoo)
+    assert model.arch == "resnet18" and model.pooling == "gem"
+    assert mP is not None and mP[0].shape == (512,) and mP[1].shape == (512, 512)
+    np.testing.assert_allclose(mP[0], m_w)
+
+    # descriptors match the torch oracle with the same weights
+    x = np.random.RandomState(1).rand(2, 64, 96, 3).astype(np.float32)
+    variables = jax.tree.map(jnp.asarray, variables)
+    d = np.asarray(model.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        f = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        pooled = torch.nn.functional.avg_pool2d(
+            f.clamp(min=1e-6).pow(3.0), f.shape[-2:]
+        ).pow(1 / 3.0).squeeze(-1).squeeze(-1)
+        ref = (pooled / (pooled.norm(dim=1, keepdim=True) + 1e-6)).numpy()
+    assert np.abs(d - ref).max() < 5e-3
+
+
+def test_cli_extract_network_flag(http_root, tmp_path, monkeypatch):
+    """`extract --network NAME` drives the whole flow through the CLI:
+    fetch, meta->model rebuild (arch/pooling overridden from the
+    checkpoint), weight port, descriptors out."""
+    from PIL import Image
+
+    import irtpu.data.download as dl
+    from irtpu.cli import main
+    from irtpu.data.download import Artifact
+
+    root, url = http_root
+    monkeypatch.delenv("IRTPU_OFFLINE", raising=False)
+    _make_fake_network(root)
+    monkeypatch.setattr(dl, "ZOO_MANIFESTS", {
+        "fake-net": Artifact(f"{url}/fake-net.pth", "networks/fake-net.pth")
+    })
+
+    img = tmp_path / "q.jpg"
+    Image.fromarray(
+        (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8)
+    ).save(img)
+    out = tmp_path / "desc.npy"
+    # --arch deliberately wrong: the checkpoint meta must override it
+    main(["extract", "--network", "fake-net", "--arch", "resnet50",
+          "--images", str(img), "--out", str(out),
+          "--image-size", "96", "--batch-size", "1",
+          "--data-root", str(tmp_path / "cache")])
+    d = np.load(out)
+    assert d.shape == (1, 512)  # resnet18 dim, not resnet50's 2048
+    assert np.isfinite(d).all()
+    assert os.path.exists(tmp_path / "cache" / "networks" / "fake-net.pth")

@@ -88,7 +88,11 @@ def _resolve_network(args):
     )
 
     root = getattr(args, "data_root", None) or "data"
-    model, variables, mP = load_pretrained(args.network, data_root=root)
+    model, variables, mP = load_pretrained(
+        args.network,
+        data_root=root,
+        whitening_scale="ms" if getattr(args, "multiscale", False) else "ss",
+    )
     args.arch = model.arch
     args.pooling = model.pooling
     args.whiten_dim = model.whiten_dim

@@ -28,6 +28,7 @@ actionable error immediately.
 from __future__ import annotations
 
 import hashlib
+import http.client
 import os
 import tarfile
 import time
@@ -41,7 +42,7 @@ from typing import Dict, List, Optional, Sequence
 # Manifests
 # ---------------------------------------------------------------------------
 
-_CIRTORCH = "http://cmp.felk.cvut.cz/cnnimageretrieval/data"
+_CIRTORCH = "https://cmp.felk.cvut.cz/cnnimageretrieval/data"
 _OXVGG = "https://www.robots.ox.ac.uk/~vgg/data"
 
 
@@ -60,6 +61,10 @@ class Artifact:
     extract: bool = False
     sha256: Optional[str] = None
     members_strip: int = 0  # leading path components to strip on extract
+    # flatten: drop ALL directory components on extract (cirtorch's own
+    # paris install does `mv paris/*/*.jpg jpg/`; member basenames are
+    # globally unique in those tarballs)
+    flatten: bool = False
 
 
 @dataclass(frozen=True)
@@ -84,10 +89,12 @@ TEST_MANIFESTS: Dict[str, DatasetManifest] = {
     "paris6k": DatasetManifest(
         "paris6k",
         artifacts=(
+            # paris tarballs nest as paris/<landmark>/<name>.jpg but the
+            # gnd imlist names are flat: flatten like cirtorch's installer
             Artifact(f"{_OXVGG}/parisbuildings/paris_1.tgz",
-                     "paris6k/jpg", extract=True, members_strip=1),
+                     "paris6k/jpg", extract=True, flatten=True),
             Artifact(f"{_OXVGG}/parisbuildings/paris_2.tgz",
-                     "paris6k/jpg", extract=True, members_strip=1),
+                     "paris6k/jpg", extract=True, flatten=True),
             Artifact(f"{_CIRTORCH}/test/paris6k/gnd_paris6k.pkl",
                      "paris6k/gnd_paris6k.pkl"),
         ),
@@ -108,9 +115,9 @@ TEST_MANIFESTS: Dict[str, DatasetManifest] = {
         "rparis6k",
         artifacts=(
             Artifact(f"{_OXVGG}/parisbuildings/paris_1.tgz",
-                     "rparis6k/jpg", extract=True, members_strip=1),
+                     "rparis6k/jpg", extract=True, flatten=True),
             Artifact(f"{_OXVGG}/parisbuildings/paris_2.tgz",
-                     "rparis6k/jpg", extract=True, members_strip=1),
+                     "rparis6k/jpg", extract=True, flatten=True),
             Artifact(f"{_CIRTORCH}/test/rparis6k/gnd_rparis6k.pkl",
                      "rparis6k/gnd_rparis6k.pkl"),
         ),
@@ -233,6 +240,15 @@ def fetch(
                             )
                 if progress and total:
                     print()
+            if total is not None and done < total:
+                # http.client returns SHORT (no exception) when the server
+                # closes mid-body on an amt-bounded read — without this
+                # check a disconnect would atomically publish a truncated
+                # file; raising re-enters the retry loop, which resumes
+                # from the .part offset with a Range request
+                raise OSError(
+                    f"short body from {url}: {done}/{total} bytes"
+                )
             if sha256:
                 got = _sha256_of(part)
                 if got != sha256:
@@ -242,27 +258,37 @@ def fetch(
                     )
             os.replace(part, dest)  # atomic publish
             return dest
-        except (urllib.error.URLError, ConnectionError, TimeoutError, OSError) as e:
+        except (
+            urllib.error.URLError,
+            http.client.HTTPException,  # IncompleteRead/BadStatusLine: the
+            ConnectionError,            # mid-transfer failures resume covers
+            TimeoutError,
+            OSError,
+        ) as e:
             last_err = e
             if attempt + 1 < retries:
                 time.sleep(2.0 ** attempt)
     raise DownloadError(f"failed to fetch {url} after {retries} attempts: {last_err}")
 
 
-def _safe_members(names: Sequence[str], strip: int) -> Dict[str, str]:
+def _safe_members(
+    names: Sequence[str], strip: int, flatten: bool = False
+) -> Dict[str, str]:
     """Map archive member -> relative output path; reject traversal."""
     out = {}
     for name in names:
         parts = [p for p in name.replace("\\", "/").split("/") if p not in ("", ".")]
         if any(p == ".." for p in parts) or (parts and parts[0].startswith("/")):
             raise DownloadError(f"archive member escapes extraction dir: {name}")
-        parts = parts[strip:]
+        parts = parts[-1:] if flatten else parts[strip:]
         if parts:
             out[name] = os.path.join(*parts)
     return out
 
 
-def extract_archive(path: str, dest_dir: str, members_strip: int = 0) -> None:
+def extract_archive(
+    path: str, dest_dir: str, members_strip: int = 0, flatten: bool = False
+) -> None:
     """Extract a .tar[.gz|.bz2]/.zip into ``dest_dir`` (atomic: extracts to
     a staging dir, then renames). Path-traversal members are rejected."""
     staging = dest_dir + ".extracting"
@@ -273,7 +299,7 @@ def extract_archive(path: str, dest_dir: str, members_strip: int = 0) -> None:
     os.makedirs(staging)
     if zipfile.is_zipfile(path):
         with zipfile.ZipFile(path) as zf:
-            mapping = _safe_members(zf.namelist(), members_strip)
+            mapping = _safe_members(zf.namelist(), members_strip, flatten)
             for member, rel in mapping.items():
                 if member.endswith("/"):
                     continue
@@ -283,7 +309,7 @@ def extract_archive(path: str, dest_dir: str, members_strip: int = 0) -> None:
                     dst.write(src.read())
     else:
         with tarfile.open(path) as tf:
-            mapping = _safe_members(tf.getnames(), members_strip)
+            mapping = _safe_members(tf.getnames(), members_strip, flatten)
             for member in tf.getmembers():
                 if not member.isfile() or member.name not in mapping:
                     continue
@@ -318,14 +344,22 @@ def _install(manifest: DatasetManifest, data_root: str) -> None:
             archive = os.path.join(
                 data_root, "_downloads", os.path.basename(art.url)
             )
-            # re-fetch/extract only while the final dir is absent; a second
-            # artifact targeting the same dir (paris_1 + paris_2) still runs
-            # because its archive name differs
-            marker = archive + ".installed"
+            # the marker is keyed by (archive, dest): a second artifact
+            # extracting the same archive into a DIFFERENT dataset dir
+            # (paris_1.tgz into paris6k/ then rparis6k/) must still run,
+            # and a second archive into the SAME dir (paris_1 + paris_2)
+            # must too
+            marker = (
+                archive + "." + art.dest.replace(os.sep, "_").replace("/", "_")
+                + ".installed"
+            )
             if os.path.exists(dest) and os.path.exists(marker):
                 continue
             fetch(art.url, archive, sha256=art.sha256)
-            extract_archive(archive, dest, members_strip=art.members_strip)
+            extract_archive(
+                archive, dest,
+                members_strip=art.members_strip, flatten=art.flatten,
+            )
             with open(marker, "w") as f:
                 f.write(art.url + "\n")
         else:
@@ -433,11 +467,13 @@ def download_network(
             f"unknown network '{name}'; zoo: {sorted(table)}"
         )
     dest = os.path.join(data_root, art.dest)
-    if os.path.exists(dest):
-        return dest
     if offline():
+        if os.path.exists(dest):
+            return dest
         raise _missing_error("Network", name, data_root, [art.dest], None)
     try:
+        # fetch() short-circuits on an existing file AFTER verifying any
+        # sha256 pin — keep the verify-or-fetch contract in one place
         return fetch(art.url, dest, sha256=art.sha256)
     except DownloadError as e:
         raise _missing_error("Network", name, data_root, [art.dest], e)

@@ -121,25 +121,43 @@ def meta_from_cirtorch(meta: Dict[str, Any]) -> Dict[str, Any]:
     """
     arch = meta.get("architecture", meta.get("arch", "resnet101"))
     pooling = meta.get("pooling", "gem")
+    clusters = None
     if isinstance(pooling, dict):  # older layouts: {'name': ..., ...}
+        clusters = pooling.get("clusters", pooling.get("num_clusters"))
         pooling = pooling.get("name", "gem")
     out: Dict[str, Any] = {"arch": arch, "pooling": pooling}
+    if clusters is not None:
+        out["netvlad_clusters"] = int(clusters)
     if meta.get("whitening"):
         out["whiten_dim"] = int(meta.get("outputdim", 0)) or None
     return out
 
 
-def cirtorch_Lw(meta: Dict[str, Any], dataset: str = "retrieval-SfM-120k"):
+def cirtorch_Lw(
+    meta: Dict[str, Any],
+    dataset: str = "retrieval-SfM-120k",
+    scale: str = "ss",
+):
     """Extract pre-learned supervised whitening (m, P) from a cirtorch
     checkpoint's ``meta['Lw']``, reference test-time semantics: applied to
     descriptors at eval (``Index.build(..., whitening_mP=...)``). Returns
-    None when the checkpoint carries no Lw."""
+    None when the checkpoint carries no Lw.
+
+    Real cirtorch zoo checkpoints nest one more level than {'m','P'}:
+    ``meta['Lw'][dataset]['ss'|'ms']`` for single- vs multi-scale
+    extraction (cirtorch test.py reads ``net.meta['Lw'][whitening][
+    'ms' if multiscale else 'ss']``); ``scale`` picks that level, falling
+    back to whichever is present, and flat {'m','P'} entries still work.
+    """
     import numpy as np
 
     lw = meta.get("Lw") or {}
     entry = lw.get(dataset) if isinstance(lw, dict) else None
     if entry is None and isinstance(lw, dict) and lw:
         entry = next(iter(lw.values()))  # any dataset's Lw
+    if isinstance(entry, dict) and not ("m" in entry and "P" in entry):
+        # the ss/ms nesting level
+        entry = entry.get(scale) or entry.get("ss") or entry.get("ms")
     if not isinstance(entry, dict) or "m" not in entry or "P" not in entry:
         return None
     m = np.asarray(entry["m"], dtype=np.float64).reshape(-1)
@@ -147,10 +165,46 @@ def cirtorch_Lw(meta: Dict[str, Any], dataset: str = "retrieval-SfM-120k"):
     return m, P
 
 
+def _torch_load_untrusted(path: str):
+    """torch.load for downloaded checkpoints: try the restricted
+    ``weights_only`` unpickler first (cirtorch metas carry numpy arrays, so
+    allowlist numpy reconstruction); only fall back to the full pickle VM
+    with a loud warning — a spoofed download must not get silent code
+    execution (zoo URLs have no recordable sha pins from this zero-egress
+    rig)."""
+    import torch
+
+    try:
+        import numpy as np
+
+        allow = [np.ndarray, np.dtype]
+        for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
+            try:
+                import importlib
+
+                allow.append(importlib.import_module(mod)._reconstruct)
+            except (ImportError, AttributeError):
+                pass
+        allow += [type(np.dtype(t)) for t in ("float32", "float64", "int64")]
+        with torch.serialization.safe_globals(allow):
+            return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # noqa: BLE001 - any unpickler rejection
+        import warnings
+
+        warnings.warn(
+            f"restricted unpickle of {path} failed ({type(e).__name__}: {e}); "
+            "falling back to weights_only=False — only do this for "
+            "checkpoints you trust",
+            stacklevel=2,
+        )
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def load_pretrained(
     name: str,
     data_root: str = "data",
     whitening_dataset: str = "retrieval-SfM-120k",
+    whitening_scale: str = "ss",
     zoo_manifests=None,
 ):
     """Fetch (or verify on disk) a pretrained zoo checkpoint and port it.
@@ -161,10 +215,12 @@ def load_pretrained(
     to Flax variables, and any pre-learned Lw whitening comes back as
     ``(m, P)`` ready for ``retrieval.index.Index.build(whitening_mP=...)``.
 
+    ``whitening_scale``: 'ss' or 'ms' — which of the checkpoint's
+    single-/multi-scale Lw variants to use (cirtorch picks by whether
+    extraction is multiscale).
+
     Returns ``(model, variables, whitening_mP_or_None)``.
     """
-    import torch
-
     from image_retrieval_for_image_based_localization_tpu.data.download import (
         download_network,
     )
@@ -173,9 +229,10 @@ def load_pretrained(
     )
 
     path = download_network(data_root, name, manifests=zoo_manifests)
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_untrusted(path)
     meta = ckpt.get("meta", {}) if isinstance(ckpt, dict) else {}
     sd = ckpt.get("state_dict", ckpt)
     model = create_model_from_meta(meta_from_cirtorch(meta))
     variables = port_retrieval_net(sd, model.arch)
-    return model, variables, cirtorch_Lw(meta, whitening_dataset)
+    return model, variables, cirtorch_Lw(meta, whitening_dataset,
+                                         scale=whitening_scale)

@@ -141,9 +141,11 @@ def _put_global(arr, sharding) -> jax.Array:
     callbacks — every process supplies the index-slices it owns (each host
     passes the same host array; only the owned rows are read).
     """
-    arr = np.asarray(arr)
     if jax.process_count() == 1:
+        # keep already-on-device inputs on device (device-side reshard);
+        # np.asarray here would round-trip every query batch through host
         return jax.device_put(jnp.asarray(arr), sharding)
+    arr = np.asarray(arr)
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 

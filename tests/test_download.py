@@ -330,6 +330,151 @@ def test_load_pretrained_end_to_end(http_root, tmp_path, monkeypatch):
     assert np.abs(d - ref).max() < 5e-3
 
 
+def test_shared_archive_installs_into_both_datasets(http_root, tmp_path,
+                                                    monkeypatch):
+    """paris6k and rparis6k share paris_1/paris_2 tarballs: installing one
+    dataset must not poison the other's install markers (regression: the
+    marker was keyed by archive basename only, so the second dataset
+    silently skipped its second tarball and lost half the gallery)."""
+    from irtpu.data.download import download_test
+
+    root, url = http_root
+    monkeypatch.delenv("IRTPU_OFFLINE", raising=False)
+
+    def make_tar(name, files):
+        stage = root / ("stage_" + name)
+        os.makedirs(stage / "jpg", exist_ok=True)
+        for f in files:
+            (stage / "jpg" / f).write_bytes(b"x" * 10)
+        with tarfile.open(root / name, "w:gz") as tf:
+            tf.add(stage / "jpg", arcname="jpg")
+
+    make_tar("part1.tgz", ["a.jpg", "b.jpg"])
+    make_tar("part2.tgz", ["c.jpg", "d.jpg"])
+    (root / "gnd.pkl").write_bytes(pickle.dumps({"imlist": [], "qimlist": [],
+                                                 "gnd": []}))
+
+    def manifest(ds):
+        return DatasetManifest(
+            ds,
+            artifacts=(
+                Artifact(f"{url}/part1.tgz", f"{ds}/jpg", extract=True,
+                         members_strip=1),
+                Artifact(f"{url}/part2.tgz", f"{ds}/jpg", extract=True,
+                         members_strip=1),
+                Artifact(f"{url}/gnd.pkl", f"{ds}/gnd_{ds}.pkl"),
+            ),
+            required=(f"{ds}/gnd_{ds}.pkl", f"{ds}/jpg"),
+        )
+
+    table = {"dsa": manifest("dsa"), "dsb": manifest("dsb")}
+    download_test(str(tmp_path), "dsa", manifests=table)
+    download_test(str(tmp_path), "dsb", manifests=table)
+    for ds in ("dsa", "dsb"):
+        got = sorted(os.listdir(tmp_path / ds / "jpg"))
+        assert got == ["a.jpg", "b.jpg", "c.jpg", "d.jpg"], (ds, got)
+
+
+def test_extract_flatten_drops_directories(http_root, tmp_path):
+    """flatten=True installs paris-style nested members as flat files (the
+    gnd imlist names are flat; cirtorch's installer does the same mv)."""
+    from irtpu.data.download import extract_archive
+
+    root, _ = http_root
+    stage = root / "pstage"
+    os.makedirs(stage / "paris" / "defense", exist_ok=True)
+    os.makedirs(stage / "paris" / "louvre", exist_ok=True)
+    (stage / "paris" / "defense" / "paris_defense_000001.jpg").write_bytes(b"d")
+    (stage / "paris" / "louvre" / "paris_louvre_000002.jpg").write_bytes(b"l")
+    arc = root / "paris_mini.tgz"
+    with tarfile.open(arc, "w:gz") as tf:
+        tf.add(stage / "paris", arcname="paris")
+
+    dest = tmp_path / "jpg"
+    extract_archive(str(arc), str(dest), flatten=True)
+    assert sorted(os.listdir(dest)) == [
+        "paris_defense_000001.jpg", "paris_louvre_000002.jpg"]
+
+
+def test_fetch_retries_incomplete_read(http_root, tmp_path, monkeypatch):
+    """A server that closes mid-body (fewer bytes than Content-Length) is
+    exactly what resume exists for: the first attempt's IncompleteRead must
+    be caught and the retry must complete the file."""
+    import http.server as hs
+
+    root, _ = http_root
+    payload = os.urandom(200_000)
+    calls = {"n": 0}
+
+    class Truncating(hs.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            calls["n"] += 1
+            rng = self.headers.get("Range")
+            start = 0
+            if rng:
+                start = int(rng.split("=")[1].rstrip("-").split("-")[0])
+            body = payload[start:]
+            if calls["n"] == 1:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body[: len(body) // 2])  # truncate + close
+                self.wfile.flush()
+                self.connection.close()
+            else:
+                self.send_response(206 if rng else 200)
+                if rng:
+                    self.send_header(
+                        "Content-Range",
+                        f"bytes {start}-{len(payload)-1}/{len(payload)}")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    srv = hs.ThreadingHTTPServer(("127.0.0.1", 0), Truncating)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        dest = tmp_path / "file.bin"
+        fetch(f"http://127.0.0.1:{srv.server_address[1]}/file.bin",
+              str(dest), progress=False)
+        assert dest.read_bytes() == payload
+        assert calls["n"] >= 2
+    finally:
+        srv.shutdown()
+
+
+def test_cirtorch_meta_nesting():
+    """Real cirtorch zoo layouts: ss/ms-nested Lw and dict-valued pooling
+    with a cluster count must survive the meta translation."""
+    from irtpu.models.zoo import cirtorch_Lw, meta_from_cirtorch
+
+    m = np.arange(4.0)
+    P = np.eye(4)
+    meta = {"Lw": {"retrieval-SfM-120k": {
+        "ss": {"m": m, "P": P}, "ms": {"m": m + 1, "P": 2 * P}}}}
+    got = cirtorch_Lw(meta, "retrieval-SfM-120k", scale="ss")
+    np.testing.assert_allclose(got[0], m)
+    got_ms = cirtorch_Lw(meta, "retrieval-SfM-120k", scale="ms")
+    np.testing.assert_allclose(got_ms[0], m + 1)
+    np.testing.assert_allclose(got_ms[1], 2 * P)
+    # flat {'m','P'} entries (this framework's own save format) still work
+    flat = {"Lw": {"retrieval-SfM-120k": {"m": m, "P": P}}}
+    np.testing.assert_allclose(cirtorch_Lw(flat)[0], m)
+    # column-vector m (cirtorch stores [D,1]) flattens
+    col = {"Lw": {"x": {"ss": {"m": m.reshape(-1, 1), "P": P}}}}
+    assert cirtorch_Lw(col)[0].shape == (4,)
+
+    translated = meta_from_cirtorch({
+        "architecture": "vgg16",
+        "pooling": {"name": "netvlad", "clusters": 32},
+    })
+    assert translated["pooling"] == "netvlad"
+    assert translated["netvlad_clusters"] == 32
+
+
 def test_cli_extract_network_flag(http_root, tmp_path, monkeypatch):
     """`extract --network NAME` drives the whole flow through the CLI:
     fetch, meta->model rebuild (arch/pooling overridden from the

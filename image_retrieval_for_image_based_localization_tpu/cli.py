@@ -155,6 +155,11 @@ def cmd_evaluate(argv):
                    help="npz with pre-learned m/P (e.g. training's "
                         "whitening.npz) applied instead of learning from "
                         "the eval gallery (reference test-time semantics)")
+    p.add_argument("--qe", type=int, default=0, metavar="NQE",
+                   help="alpha-query-expansion neighbor count (0 = off); "
+                        "beyond-reference mAP booster")
+    p.add_argument("--qe-alpha", type=float, default=3.0,
+                   help="alphaQE weight exponent (0 = average QE)")
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--mesh", default=None, metavar="DxG",
@@ -218,6 +223,8 @@ def cmd_evaluate(argv):
         mesh=mesh,
         use_sharded_index=args.sharded,
         whitening_mP=whitening_mP,
+        qe_nqe=args.qe,
+        qe_alpha=args.qe_alpha,
     )
 
 
@@ -340,6 +347,10 @@ def cmd_query(argv):
     p.add_argument("--queries", required=True, help=".npy [Nq, D] query descriptors")
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--qe", type=int, default=0, metavar="NQE",
+                   help="alpha-query-expansion neighbor count (0 = off)")
+    p.add_argument("--qe-alpha", type=float, default=3.0,
+                   help="alphaQE weight exponent (0 = average QE)")
     p.add_argument("--out", default=None, help="optional .npz for scores/indices")
     args = p.parse_args(argv)
 
@@ -351,10 +362,24 @@ def cmd_query(argv):
         from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
             ShardedIndex,
         )
+        from image_retrieval_for_image_based_localization_tpu.retrieval.query_expansion import (
+            expand_queries_host,
+        )
 
-        scores, idx = ShardedIndex.from_index(index).query(qd, k=args.k)
+        sindex = ShardedIndex.from_index(index)
+        if args.qe:
+            nqe = min(args.qe, sindex.n_valid)
+            s0, i0 = sindex.query(qd, k=nqe)
+            qt = np.asarray(sindex.transform_queries(qd))
+            qx = expand_queries_host(index.gallery[i0], qt, s0,
+                                     alpha=args.qe_alpha)
+            # expanded queries already live in the search space
+            scores, idx = sindex.query(qx, k=args.k, pre_transformed=True)
+        else:
+            scores, idx = sindex.query(qd, k=args.k)
     else:
-        scores, idx = index.query(qd, k=args.k)
+        scores, idx = index.query(qd, k=args.k,
+                                  qe_nqe=args.qe, qe_alpha=args.qe_alpha)
     if args.out:
         np.savez(args.out, scores=scores, indices=idx)
         print(f"wrote {args.out}")

@@ -39,12 +39,18 @@ def evaluate_dataset(
     use_sharded_index: bool = False,
     dense_rank_limit: int = 50_000,
     whitening_mP=None,
+    qe_nqe: int = 0,
+    qe_alpha: float = 3.0,
 ) -> Dict:
     """Run the full eval pipeline on a TestDataset; returns the mAP results.
 
     ``whitening_mP=(m, P)`` applies pre-learned whitening (e.g. the
     training loop's ``whitening.npz``) instead of learning from the eval
     gallery — the reference's test-time semantics.
+
+    ``qe_nqe > 0`` enables αQE query expansion before ranking
+    (``retrieval.query_expansion``) on every ranking path — a beyond-
+    reference mAP booster.
     """
     logger = logger or MetricsLogger()
     ex = extractor or Extractor(extract_cfg, variables=variables, mesh=mesh)
@@ -73,7 +79,24 @@ def evaluate_dataset(
             # the gallery axis) — no [Ng, Nq] score matrix on host or chip,
             # so config-4/5 galleries evaluate within one chip's memory
             cand = candidate_matrix(dataset.gnd)
-            ranks_all = sindex.rank_candidates(qd, cand)
+            if qe_nqe:
+                # nQE search runs sharded; the [Nq, nqe] neighbor gather is
+                # tiny, so the expansion math itself is host-side
+                from image_retrieval_for_image_based_localization_tpu.retrieval.query_expansion import (
+                    expand_queries_host,
+                )
+
+                nqe = min(qe_nqe, sindex.n_valid)
+                s0, i0 = sindex.query(qd, k=nqe)
+                qt = np.asarray(sindex.transform_queries(qd))
+                qx = expand_queries_host(
+                    index.gallery[i0], qt, s0, alpha=qe_alpha
+                )
+                ranks_all = sindex.rank_candidates(
+                    qx, cand, pre_transformed=True
+                )
+            else:
+                ranks_all = sindex.rank_candidates(qd, cand)
         results = compute_map_streaming_and_print(
             dataset.name, ranks_all, dataset.gnd
         )
@@ -92,7 +115,7 @@ def evaluate_dataset(
 
         with phase_timer("rank", logger, items=dataset.nq):
             cand = candidate_matrix(dataset.gnd)
-            qt = index.transform_queries(qd)
+            qt = index._search_queries(qd, qe_nqe, qe_alpha)
             ranks_all = np.asarray(
                 rank_candidates(index.device_gallery(), jnp.asarray(qt),
                                 jnp.asarray(cand, jnp.int32))
@@ -103,7 +126,7 @@ def evaluate_dataset(
         return {"results": results, "index": index, "db": db, "queries": qd}
 
     with phase_timer("rank", logger, items=dataset.nq):
-        ranks = index.ranks(qd)
+        ranks = index.ranks(qd, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
 
     results = compute_map_and_print(dataset.name, ranks, dataset.gnd)
     return {"results": results, "index": index, "db": db, "queries": qd}

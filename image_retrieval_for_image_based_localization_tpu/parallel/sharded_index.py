@@ -218,11 +218,19 @@ class ShardedIndex:
         return cls.from_index(Index.load(path), mesh=mesh, axis=axis)
 
     def rank_candidates(
-        self, qdescriptors: np.ndarray, cand: np.ndarray, chunk: int | None = None
+        self,
+        qdescriptors: np.ndarray,
+        cand: np.ndarray,
+        chunk: int | None = None,
+        pre_transformed: bool = False,
     ) -> np.ndarray:
         """Global rank of each candidate row (``[Nq, C]`` int32) — the
-        streaming mAP-evaluation path; see ``sharded_rank_candidates``."""
-        q = self.transform_queries(qdescriptors)
+        streaming mAP-evaluation path; see ``sharded_rank_candidates``.
+
+        ``pre_transformed=True`` skips whitening (queries already live in
+        the search space, e.g. αQE-expanded ones)."""
+        q = (jnp.asarray(qdescriptors, jnp.float32) if pre_transformed
+             else self.transform_queries(qdescriptors))
         rep = NamedSharding(self.mesh, P())
         q = _put_global(q, rep)
         cand_j = _put_global(np.asarray(cand, np.int32), rep)
@@ -237,9 +245,16 @@ class ShardedIndex:
         )
         return np.asarray(ranks)
 
-    def query(self, qdescriptors: np.ndarray, k: int = 10, chunk: int | None = None):
+    def query(
+        self,
+        qdescriptors: np.ndarray,
+        k: int = 10,
+        chunk: int | None = None,
+        pre_transformed: bool = False,
+    ):
         """Distributed exact top-k. Returns host ``(scores, indices)``."""
-        q = self.transform_queries(qdescriptors)
+        q = (jnp.asarray(qdescriptors, jnp.float32) if pre_transformed
+             else self.transform_queries(qdescriptors))
         rep = NamedSharding(self.mesh, P())
         q = _put_global(q, rep)
         k_eff = min(k, self.n_valid)

@@ -161,15 +161,45 @@ class Index:
             dtype=np.float32,
         )
 
-    def query(self, qdescriptors: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k exact search. Returns (scores [Nq,k], indices [Nq,k])."""
-        q = self.transform_queries(qdescriptors)
-        scores, idx = knn_search(self.device_gallery(), jnp.asarray(q), k=k)
+    def _search_queries(self, qdescriptors, qe_nqe: int, qe_alpha: float):
+        """Whitened (and optionally αQE-expanded) queries, device-resident."""
+        q = jnp.asarray(self.transform_queries(qdescriptors))
+        if qe_nqe:
+            from image_retrieval_for_image_based_localization_tpu.retrieval.query_expansion import (
+                expand_queries,
+            )
+
+            q = expand_queries(
+                self.device_gallery(), q,
+                nqe=min(int(qe_nqe), self.gallery.shape[0]), alpha=qe_alpha,
+            )
+        return q
+
+    def query(
+        self,
+        qdescriptors: np.ndarray,
+        k: int = 10,
+        qe_nqe: int = 0,
+        qe_alpha: float = 3.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k exact search. Returns (scores [Nq,k], indices [Nq,k]).
+
+        ``qe_nqe > 0`` enables αQE re-querying (``retrieval.
+        query_expansion``): one extra nQE search + on-device expansion
+        before the main ranking pass.
+        """
+        q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
+        scores, idx = knn_search(self.device_gallery(), q, k=k)
         return np.asarray(scores), np.asarray(idx)
 
-    def ranks(self, qdescriptors: np.ndarray) -> np.ndarray:
+    def ranks(
+        self,
+        qdescriptors: np.ndarray,
+        qe_nqe: int = 0,
+        qe_alpha: float = 3.0,
+    ) -> np.ndarray:
         """Full ranking [N, Nq] for mAP evaluation."""
-        q = self.transform_queries(qdescriptors)
+        q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
         return full_ranks(self.device_gallery(), q)
 
     # -- persistence ---------------------------------------------------------

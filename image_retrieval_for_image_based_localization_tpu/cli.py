@@ -160,6 +160,10 @@ def cmd_evaluate(argv):
                         "beyond-reference mAP booster")
     p.add_argument("--qe-alpha", type=float, default=3.0,
                    help="alphaQE weight exponent (0 = average QE)")
+    p.add_argument("--dba", type=int, default=0, metavar="NQE",
+                   help="database-side augmentation neighbor count at "
+                        "index build (0 = off)")
+    p.add_argument("--dba-alpha", type=float, default=3.0)
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--mesh", default=None, metavar="DxG",
@@ -217,6 +221,8 @@ def cmd_evaluate(argv):
             whitening=None if args.whitening == "none" else args.whitening,
             whiten_dims=args.whiten_dims,
             strict_whitening=args.strict_whitening,
+            dba_nqe=args.dba,
+            dba_alpha=args.dba_alpha,
         ),
         extractor=ex,
         logger=MetricsLogger(args.metrics_out, echo=True),
@@ -318,6 +324,10 @@ def cmd_build_index(argv):
     p.add_argument("--whitening-file", default=None,
                    help="npz with pre-learned m/P (e.g. training's "
                         "whitening.npz) applied instead of learning")
+    p.add_argument("--dba", type=int, default=0, metavar="NQE",
+                   help="database-side augmentation neighbor count "
+                        "(0 = off); beyond-reference mAP booster")
+    p.add_argument("--dba-alpha", type=float, default=3.0)
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
@@ -334,7 +344,9 @@ def cmd_build_index(argv):
                 "loop's saved whitening via --whitening-file, or use "
                 "Index.build(pairs=...) directly")
     index = Index.build(
-        descs, IndexConfig(whitening=wh, whiten_dims=args.whiten_dims),
+        descs,
+        IndexConfig(whitening=wh, whiten_dims=args.whiten_dims,
+                    dba_nqe=args.dba, dba_alpha=args.dba_alpha),
         whitening_mP=whitening_mP,
     )
     index.save(args.out)

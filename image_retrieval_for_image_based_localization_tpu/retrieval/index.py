@@ -142,6 +142,26 @@ class Index:
             gallery = (
                 np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
             )
+        if cfg.dba_nqe:
+            # database-side augmentation: gallery->gallery alphaQE in the
+            # final search space (post-whitening). Each row's top-1
+            # neighbor is itself (s=1), so self carries weight 1 + 1 from
+            # the explicit q term — the standard DBA self-inclusion.
+            from image_retrieval_for_image_based_localization_tpu.retrieval.query_expansion import (
+                expand_queries,
+            )
+
+            gdev = jnp.asarray(gallery)
+            nqe = min(int(cfg.dba_nqe), gallery.shape[0])
+            blocks = []
+            step = 8192  # bound the [step, nqe, D] gather + scores
+            for i in range(0, gallery.shape[0], step):
+                blocks.append(np.asarray(expand_queries(
+                    gdev, gdev[i : i + step], nqe=nqe, alpha=cfg.dba_alpha
+                )))
+            gallery = (
+                np.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+            )
         return cls(
             gallery=gallery,
             m=None if m is None else np.asarray(m, np.float32),

@@ -80,6 +80,13 @@ class IndexConfig:
     # (2x memory, measured recall@10 = 1.0) | 'int8' (4x memory; verify
     # recall on your data - 0.83 on worst-case iid-random vectors)
     storage: str = "float32"
+    # database-side augmentation (DBA): at build time replace each gallery
+    # descriptor with the re-l2n weighted sum of itself and its top-nqe
+    # gallery neighbors (same alphaQE math, applied gallery->gallery).
+    # 0 = off. Beyond-reference mAP booster; build cost = one extra
+    # gallery x gallery search.
+    dba_nqe: int = 0
+    dba_alpha: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

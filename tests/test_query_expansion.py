@@ -125,6 +125,44 @@ def test_sharded_qe_matches_dense():
     assert np.array_equal(ri_dense, ri_shard)
 
 
+def test_dba_matches_reference_math():
+    """Index.build(dba_nqe=k) must equal per-row alphaQE of the gallery
+    against itself (self included in the top-k at weight 1^a)."""
+    g, _, _, _ = _clustered(noise=0.3)
+    index = Index.build(g, IndexConfig(whitening=None, dba_nqe=5,
+                                       dba_alpha=3.0))
+    s = g @ g.T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :5]
+    w = np.maximum(np.take_along_axis(s, idx, axis=1), 0.0) ** 3.0
+    exp = g + np.einsum("qn,qnd->qd", w, g[idx])
+    exp /= np.maximum(np.linalg.norm(exp, axis=1, keepdims=True), 1e-6)
+    np.testing.assert_allclose(index.gallery, exp, atol=5e-5)
+
+
+def test_dba_improves_map_pin():
+    """DBA alone and DBA+QE both beat the plain index on the clustered
+    corpus; the combination beats either alone."""
+    g, gl, q, ql = _clustered(noise=0.3)
+    plain = Index.build(g, IndexConfig(whitening=None))
+    dba = Index.build(g, IndexConfig(whitening=None, dba_nqe=10,
+                                     dba_alpha=0.0))
+    base = _map_at_full(g, gl, q, ql, plain)
+    m_dba = _map_at_full(g, gl, q, ql, dba)
+    m_both = _map_at_full(g, gl, q, ql, dba, qe_nqe=10, qe_alpha=0.0)
+    assert m_dba > base + 0.05, (base, m_dba)
+    assert m_both > m_dba, (m_dba, m_both)
+
+
+def test_dba_blocked_equals_single_block():
+    """The row blocking in the DBA build is a memory bound, not a semantic
+    one: expanding the gallery in chunks equals one shot."""
+    g, _, _, _ = _clustered(noise=0.3)
+    one = np.asarray(expand_queries(g, g, nqe=5, alpha=3.0))
+    parts = [np.asarray(expand_queries(g, g[i : i + 50], nqe=5, alpha=3.0))
+             for i in range(0, g.shape[0], 50)]
+    np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-6)
+
+
 def test_evaluate_dataset_qe_path(tmp_path):
     """qe_nqe flows through the harness on both the dense and sharded
     paths without changing result structure, and never hurts the synthetic

@@ -164,6 +164,13 @@ def cmd_evaluate(argv):
                    help="database-side augmentation neighbor count at "
                         "index build (0 = off)")
     p.add_argument("--dba-alpha", type=float, default=3.0)
+    p.add_argument("--diffusion", action="store_true",
+                   help="kNN-graph diffusion re-ranking (manifold "
+                        "search); dense ranking path only")
+    p.add_argument("--diffusion-k", type=int, default=50,
+                   help="graph neighbors per gallery item")
+    p.add_argument("--diffusion-seeds", type=int, default=10,
+                   help="seed matches per query")
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--mesh", default=None, metavar="DxG",
@@ -231,6 +238,9 @@ def cmd_evaluate(argv):
         whitening_mP=whitening_mP,
         qe_nqe=args.qe,
         qe_alpha=args.qe_alpha,
+        diffusion=args.diffusion,
+        diffusion_kwargs={"k_graph": args.diffusion_k,
+                          "k_seed": args.diffusion_seeds},
     )
 
 

@@ -41,6 +41,8 @@ def evaluate_dataset(
     whitening_mP=None,
     qe_nqe: int = 0,
     qe_alpha: float = 3.0,
+    diffusion: bool = False,
+    diffusion_kwargs: Optional[Dict] = None,
 ) -> Dict:
     """Run the full eval pipeline on a TestDataset; returns the mAP results.
 
@@ -51,7 +53,15 @@ def evaluate_dataset(
     ``qe_nqe > 0`` enables αQE query expansion before ranking
     (``retrieval.query_expansion``) on every ranking path — a beyond-
     reference mAP booster.
+
+    ``diffusion=True`` re-ranks by kNN-graph diffusion
+    (``retrieval.diffusion``; dense ranking path only — it produces a
+    full [N, Nq] relevance, so it pairs with galleries that fit one
+    chip); ``diffusion_kwargs`` forwards k_graph/k_seed/gamma/alpha/iters.
     """
+    if diffusion and use_sharded_index:
+        raise ValueError("diffusion re-ranking needs the dense ranking "
+                         "path (full [N, Nq] relevance); drop --sharded")
     logger = logger or MetricsLogger()
     ex = extractor or Extractor(extract_cfg, variables=variables, mesh=mesh)
 
@@ -102,7 +112,7 @@ def evaluate_dataset(
         )
         return {"results": results, "index": index, "db": db, "queries": qd}
 
-    if index.gallery.shape[0] > dense_rank_limit:
+    if index.gallery.shape[0] > dense_rank_limit and not diffusion:
         # large gallery, single device: the full [Ng, Nq] host rank matrix
         # is the memory hazard, not the device — stream candidate ranks
         from image_retrieval_for_image_based_localization_tpu.evaluation.map import (
@@ -126,7 +136,13 @@ def evaluate_dataset(
         return {"results": results, "index": index, "db": db, "queries": qd}
 
     with phase_timer("rank", logger, items=dataset.nq):
-        ranks = index.ranks(qd, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
+        if diffusion:
+            ranks = index.diffusion_ranks(
+                qd, qe_nqe=qe_nqe, qe_alpha=qe_alpha,
+                **(diffusion_kwargs or {}),
+            )
+        else:
+            ranks = index.ranks(qd, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
 
     results = compute_map_and_print(dataset.name, ranks, dataset.gnd)
     return {"results": results, "index": index, "db": db, "queries": qd}

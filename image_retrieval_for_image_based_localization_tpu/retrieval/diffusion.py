@@ -1,0 +1,168 @@
+"""Diffusion re-ranking on the gallery's kNN graph (manifold search).
+
+Query-time similarity diffusion (Iscen et al., CVPR 2017 — "Efficient
+Diffusion on Region Manifolds", the standard revisited-benchmark
+re-ranker): build a symmetric, degree-normalized affinity graph over the
+gallery once, seed each query with its strongest gallery matches, and
+solve ``(I - alpha*S) f = y`` for the equilibrium relevance ``f`` — scores
+flow along the data manifold, so items connected to the query through
+chains of similar neighbors rank above isolated near-duplicates. The
+reference framework ships no re-ranking at all; on clustered data this is
+a large mAP gain over plain cosine ranking (see tests/PERF.md).
+
+TPU shape (everything static-shaped, jit-compiled once per size):
+
+* graph build = one exact kNN pass (``knn.streaming_topk``, MXU) giving
+  ``[N, k]`` neighbor indices + weights ``max(s,0)^gamma``;
+* the sparse symmetric matvec is an edge-list program: ``2Nk`` edges
+  (each kNN edge + its reverse), ``jnp.take`` of the source rows and a
+  ``jax.ops.segment_sum`` into the destinations — gather/scatter on the
+  VPU, no [N, N] matrix anywhere;
+* the solver is conjugate gradient with a FIXED iteration count inside
+  ``lax.scan`` (no data-dependent control flow; (I - alpha*S) is SPD for
+  alpha < 1 so CG is the right Krylov method);
+* queries batch as columns: one solve handles ``[N, Nq]`` right-hand
+  sides simultaneously.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+    knn_search,
+)
+
+
+class DiffusionGraph(NamedTuple):
+    """Symmetric normalized affinity graph in edge-list form.
+
+    src/dst: [E] int32 edge endpoints (E = 2*N*k: kNN edges + reverses);
+    w: [E] float32 normalized weights (D^-1/2 A_sym D^-1/2 entries);
+    n: gallery size.
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    w: jnp.ndarray
+    n: int
+
+
+def build_graph(
+    gallery: jnp.ndarray, k: int = 50, gamma: float = 3.0
+) -> DiffusionGraph:
+    """kNN affinity graph over the gallery, symmetrized and normalized.
+
+    ``A = max(s, 0)^gamma`` on each row's top-k (self-edge dropped);
+    ``A_sym = A + A^T`` (segment-summed, so mutual edges count twice —
+    a monotone reweighting that favors mutual neighbors);
+    ``S = D^-1/2 A_sym D^-1/2``.
+    """
+    g = jnp.asarray(gallery)
+    n = int(g.shape[0])
+    kk = min(k + 1, n)  # +1: top-1 of each row is itself
+    scores, idx = knn_search(g, g, k=kk)
+    scores, idx = scores[:, 1:], idx[:, 1:]  # drop self
+    w = jnp.maximum(scores, 0.0) ** jnp.float32(gamma)
+
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk - 1)
+    cols = idx.reshape(-1).astype(jnp.int32)
+    ww = w.reshape(-1)
+    # symmetrize by concatenating reversed edges
+    src = jnp.concatenate([rows, cols])
+    dst = jnp.concatenate([cols, rows])
+    ww = jnp.concatenate([ww, ww])
+    deg = jax.ops.segment_sum(ww, dst, num_segments=n)
+    dinv = lax.rsqrt(jnp.maximum(deg, 1e-12))
+    wn = ww * dinv[src] * dinv[dst]
+    return DiffusionGraph(src=src, dst=dst, w=wn, n=n)
+
+
+def _matvec(graph: DiffusionGraph, F: jnp.ndarray) -> jnp.ndarray:
+    """S @ F for [N, Nq] F via gather + segment_sum (no [N, N] matrix).
+
+    num_segments comes from F's static shape — graph.n is a traced pytree
+    leaf under jit and must not parameterize the scatter."""
+    contrib = graph.w[:, None] * jnp.take(F, graph.src, axis=0)
+    return jax.ops.segment_sum(contrib, graph.dst, num_segments=F.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def diffuse(
+    graph: DiffusionGraph,
+    seeds: jnp.ndarray,
+    alpha: float = 0.9,
+    iters: int = 30,
+) -> jnp.ndarray:
+    """Solve ``(I - alpha*S) F = seeds`` by fixed-iteration CG.
+
+    seeds: [N, Nq] (column per query, nonzero at that query's strongest
+    gallery matches). Returns the diffused relevance [N, Nq].
+
+    Default ``alpha=0.9``, not the paper's 0.99: Iscen et al. pair 0.99
+    with per-query subgraph truncation; diffusing the WHOLE graph at 0.99
+    lets the equilibrium drift toward the degree distribution and lose
+    query specificity (measured: mAP 0.64 at 0.9 vs 0.37 at 0.99 on the
+    clustered test corpus, base 0.49).
+    """
+    y = jnp.asarray(seeds, jnp.float32)
+    a = jnp.asarray(alpha, jnp.float32)
+
+    def A(F):  # (I - alpha*S) F
+        return F - a * _matvec(graph, F)
+
+    x0 = jnp.zeros_like(y)
+    r0 = y  # y - A @ 0
+    p0 = r0
+    rs0 = jnp.sum(r0 * r0, axis=0)
+
+    def step(carry, _):
+        x, r, p, rs = carry
+        Ap = A(p)
+        denom = jnp.sum(p * Ap, axis=0)
+        ak = rs / jnp.maximum(denom, 1e-20)
+        x = x + ak[None, :] * p
+        r = r - ak[None, :] * Ap
+        rs_new = jnp.sum(r * r, axis=0)
+        bk = rs_new / jnp.maximum(rs, 1e-20)
+        p = r + bk[None, :] * p
+        return (x, r, p, rs_new), None
+
+    (x, _, _, _), _ = lax.scan(step, (x0, r0, p0, rs0), None, length=iters)
+    return x
+
+
+def diffusion_scores(
+    gallery: jnp.ndarray,
+    queries: jnp.ndarray,
+    graph: DiffusionGraph = None,
+    k_graph: int = 50,
+    k_seed: int = 10,
+    gamma: float = 3.0,
+    alpha: float = 0.9,
+    iters: int = 30,
+) -> np.ndarray:
+    """End-to-end diffusion ranking scores ``[N, Nq]``.
+
+    Seeds = each query's top-``k_seed`` gallery matches at weight
+    ``max(s,0)^gamma``. Pass a prebuilt ``graph`` to amortize the (one-off,
+    query-independent) graph construction across query batches.
+    """
+    g = jnp.asarray(gallery)
+    q = jnp.asarray(queries, jnp.float32)
+    if graph is None:
+        graph = build_graph(g, k=k_graph, gamma=gamma)
+    ks = min(k_seed, graph.n)
+    s, idx = knn_search(g, q, k=ks)
+    w = jnp.maximum(s, 0.0) ** jnp.float32(gamma)  # [Nq, ks]
+    nq = q.shape[0]
+    seeds = jnp.zeros((graph.n, nq), jnp.float32)
+    qcol = jnp.repeat(jnp.arange(nq), ks)
+    seeds = seeds.at[idx.reshape(-1), qcol].add(w.reshape(-1))
+    return np.asarray(diffuse(graph, seeds, alpha=alpha, iters=iters))

@@ -222,6 +222,42 @@ class Index:
         q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
         return full_ranks(self.device_gallery(), q)
 
+    def diffusion_ranks(
+        self,
+        qdescriptors: np.ndarray,
+        k_graph: int = 50,
+        k_seed: int = 10,
+        gamma: float = 3.0,
+        alpha: float = 0.9,
+        iters: int = 30,
+        qe_nqe: int = 0,
+        qe_alpha: float = 3.0,
+    ) -> np.ndarray:
+        """Full ranking [N, Nq] by kNN-graph diffusion re-ranking
+        (``retrieval.diffusion``; composes with αQE on the seeds' search).
+
+        Rows the diffusion never reaches (different connected component)
+        fall back to their plain cosine order *below* every reached row.
+        """
+        from image_retrieval_for_image_based_localization_tpu.retrieval.diffusion import (
+            diffusion_scores,
+        )
+
+        q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
+        gdev = self.device_gallery()
+        f = diffusion_scores(
+            gdev, q, k_graph=k_graph, k_seed=k_seed, gamma=gamma,
+            alpha=alpha, iters=iters,
+        )
+        cos = np.asarray(
+            jnp.einsum("nd,qd->nq", jnp.asarray(gdev, jnp.float32), q,
+                       preferred_element_type=jnp.float32)
+        )
+        # any diffused row outranks any unreached one (cos <= 1 < 3);
+        # ordering within each group is preserved
+        final = np.where(f > 0, 3.0 + f, cos)
+        return np.argsort(-final, axis=0, kind="stable")
+
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -1,0 +1,121 @@
+"""Diffusion re-ranking tests: the CG solve against a dense NumPy direct
+solve, manifold-structured mAP gains, and harness integration."""
+
+import numpy as np
+import pytest
+
+from irtpu.retrieval.diffusion import (
+    DiffusionGraph,
+    build_graph,
+    diffuse,
+    diffusion_scores,
+)
+from irtpu.retrieval.index import Index
+from irtpu.utils.config import IndexConfig
+
+from test_query_expansion import _clustered, _map_at_full
+
+
+def _dense_S(graph: DiffusionGraph) -> np.ndarray:
+    S = np.zeros((graph.n, graph.n), np.float64)
+    np.add.at(S, (np.asarray(graph.dst), np.asarray(graph.src)),
+              np.asarray(graph.w, np.float64))
+    return S
+
+
+def test_graph_is_symmetric_normalized():
+    g, _, _, _ = _clustered(noise=0.3)
+    graph = build_graph(g, k=8)
+    S = _dense_S(graph)
+    np.testing.assert_allclose(S, S.T, atol=1e-6)
+    # spectral radius of D^-1/2 (A+A^T) D^-1/2 is <= 1 (alpha<1 => SPD solve)
+    ev = np.linalg.eigvalsh(S)
+    assert ev.max() <= 1.0 + 1e-5
+    # no self-edges
+    assert np.abs(np.diag(S)).max() == 0.0
+
+
+def test_cg_matches_direct_solve():
+    """Fixed-iteration CG must agree with the dense NumPy direct solve of
+    (I - alpha*S) f = y to fine tolerance."""
+    g, _, q, _ = _clustered(n_clusters=4, per=20, d=32, noise=0.3)
+    graph = build_graph(g, k=10)
+    S = _dense_S(graph)
+    rng = np.random.RandomState(0)
+    y = np.abs(rng.randn(graph.n, 3)).astype(np.float32)
+    alpha = 0.9
+    direct = np.linalg.solve(np.eye(graph.n) - alpha * S, y)
+    got = np.asarray(diffuse(graph, y, alpha=alpha, iters=60))
+    np.testing.assert_allclose(got, direct, rtol=2e-3, atol=2e-3)
+
+
+def test_diffusion_improves_map_pin():
+    """On the clustered corpus, diffusion re-ranking beats plain cosine
+    ranking by a wide margin (scores flow along the manifold)."""
+    g, gl, q, ql = _clustered(noise=0.3)
+    index = Index.build(g, IndexConfig(whitening=None))
+    base = _map_at_full(g, gl, q, ql, index)
+
+    ranks = index.diffusion_ranks(q, k_graph=10, k_seed=5)
+    aps = []
+    for qi in range(q.shape[0]):
+        rel = gl[ranks[:, qi]] == ql[qi]
+        hits = np.flatnonzero(rel)
+        prec = (np.arange(len(hits)) + 1) / (hits + 1)
+        aps.append(prec.mean())
+    diff_map = float(np.mean(aps))
+    assert diff_map > base + 0.10, (base, diff_map)
+
+
+def test_diffusion_ranks_are_permutations():
+    g, _, q, _ = _clustered(n_clusters=4, per=12, d=32, noise=0.4)
+    index = Index.build(g, IndexConfig(whitening=None))
+    ranks = index.diffusion_ranks(q[:3], k_graph=8, k_seed=3)
+    assert ranks.shape == (g.shape[0], 3)
+    for c in range(3):
+        assert sorted(ranks[:, c]) == list(range(g.shape[0]))
+
+
+def test_unreached_rows_fall_back_to_cosine():
+    """Two disconnected components: rows in the query's component rank by
+    diffusion, the other component's rows keep cosine order below them."""
+    rng = np.random.RandomState(0)
+    a = np.linalg.qr(rng.randn(8, 8))[0].astype(np.float32)  # orthonormal
+    # component A: rows 0..3 mutually similar; component B: rows 4..7
+    A = np.stack([a[0], a[0] * 0.9 + a[1] * 0.1, a[0] * 0.8 + a[1] * 0.2,
+                  a[0] * 0.7 + a[1] * 0.3])
+    B = np.stack([a[4], a[4] * 0.9 + a[5] * 0.1, a[4] * 0.8 + a[5] * 0.2,
+                  a[4] * 0.7 + a[5] * 0.3])
+    g = np.concatenate([A, B])
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[:1]  # query = row 0 (component A)
+    index = Index.build(g, IndexConfig(whitening=None))
+    ranks = index.diffusion_ranks(q, k_graph=2, k_seed=2)[:, 0]
+    # all of component A before all of component B
+    pos = {r: i for i, r in enumerate(ranks)}
+    assert max(pos[i] for i in range(4)) < min(pos[i] for i in range(4, 8))
+    # B's internal order = cosine order vs q (all ~0 but stable argsort)
+    cosB = (g[4:] @ q[0])
+    expected_B = 4 + np.argsort(-cosB, kind="stable")
+    got_B = [r for r in ranks if r >= 4]
+    assert got_B == list(expected_B)
+
+
+def test_evaluate_dataset_diffusion_path(tmp_path):
+    from irtpu.data.test_datasets import make_synthetic_dataset, configdataset
+    from irtpu.evaluation.harness import evaluate_dataset
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    make_synthetic_dataset(str(tmp_path), "synth", n_scenes=4,
+                           views_per_scene=4, n_distractors=6,
+                           image_hw=(48, 64))
+    ds = configdataset("synth", str(tmp_path))
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=64,
+                        batch_size=8)
+    r = evaluate_dataset(ds, cfg, IndexConfig(whitening=None),
+                         diffusion=True,
+                         diffusion_kwargs={"k_graph": 8, "k_seed": 3})
+    assert "results" in r and r["results"]
+    with pytest.raises(ValueError):
+        evaluate_dataset(ds, cfg, IndexConfig(whitening=None),
+                         diffusion=True, use_sharded_index=True)

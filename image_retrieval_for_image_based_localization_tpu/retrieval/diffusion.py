@@ -81,6 +81,9 @@ def build_graph(
     deg = jax.ops.segment_sum(ww, dst, num_segments=n)
     dinv = lax.rsqrt(jnp.maximum(deg, 1e-12))
     wn = ww * dinv[src] * dinv[dst]
+    # NOT sorted by dst: measured on hardware, indices_are_sorted=True
+    # does not speed the segment_sum (warm 1.61s vs 1.56s median at
+    # 20k/k=50/64q — noise) while the one-off argsort costs +15s build
     return DiffusionGraph(src=src, dst=dst, w=wn, n=n)
 
 

@@ -423,6 +423,11 @@ def cmd_shortlist(argv):
     p.add_argument("--out", required=True, help="pairs file to write")
     p.add_argument("--data-root", default="data",
                    help="cache root for --network checkpoint fetch")
+    p.add_argument("--qe", type=int, default=0, metavar="NQE",
+                   help="alphaQE expansion before the shortlist cut")
+    p.add_argument("--qe-alpha", type=float, default=3.0)
+    p.add_argument("--diffusion", action="store_true",
+                   help="diffusion re-ranking before the shortlist cut")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.api import Extractor
@@ -446,7 +451,8 @@ def cmd_shortlist(argv):
 
     qnames = [_os.path.basename(p) for p in args.images]
     pairs, _ = localize_shortlist(
-        index, qd, qnames, db_names=db_names, k=args.k, out_path=args.out
+        index, qd, qnames, db_names=db_names, k=args.k, out_path=args.out,
+        qe_nqe=args.qe, qe_alpha=args.qe_alpha, diffusion=args.diffusion,
     )
     print(f"wrote {len(pairs)} pairs ({len(qnames)} queries x k={args.k}) "
           f"to {args.out}")

@@ -54,10 +54,24 @@ def localize_shortlist(
     db_names: Optional[Sequence[str]] = None,
     k: int = 20,
     out_path: Optional[str] = None,
+    qe_nqe: int = 0,
+    qe_alpha: float = 3.0,
+    diffusion: bool = False,
 ):
     """End-to-end: query the index, return (pairs, scores); optionally write
-    the pairs file. ``db_names`` defaults to the index's stored ids."""
-    scores, idx = index.query(qdescriptors, k=k)
+    the pairs file. ``db_names`` defaults to the index's stored ids.
+
+    ``qe_nqe``/``diffusion`` apply the re-ranking family before the top-k
+    cut — a better shortlist costs the pose pipeline nothing downstream.
+    """
+    if diffusion:
+        ranks = index.diffusion_ranks(qdescriptors, qe_nqe=qe_nqe,
+                                      qe_alpha=qe_alpha)
+        idx = ranks[:k].T  # [Nq, k]
+        scores = None
+    else:
+        scores, idx = index.query(qdescriptors, k=k,
+                                  qe_nqe=qe_nqe, qe_alpha=qe_alpha)
     if db_names is None:
         if index.ids is None:
             db_names = [str(i) for i in range(index.gallery.shape[0])]

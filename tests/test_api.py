@@ -163,6 +163,29 @@ def test_localization_pairs_output(tmp_path):
     assert lines[5].split() == ["q/b.jpg", "db/007.jpg"]
 
 
+def test_localization_shortlist_reranked(tmp_path):
+    """QE and diffusion re-ranking flow through localize_shortlist; the
+    self-match stays the top pair and the pairs-file shape is unchanged."""
+    from irtpu.localization import localize_shortlist
+
+    rng = np.random.RandomState(13)
+    db = rng.randn(20, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = build_index(db, IndexConfig(whitening=None),
+                        ids=[f"db/{i:03d}.jpg" for i in range(20)])
+    q = db[[3, 7]] + rng.randn(2, 16).astype(np.float32) * 0.01
+    for kw in ({"qe_nqe": 3}, {"diffusion": True},
+               {"diffusion": True, "qe_nqe": 3}):
+        path = str(tmp_path / "pairs.txt")
+        pairs, _ = localize_shortlist(
+            index, q, ["q/a.jpg", "q/b.jpg"], k=5, out_path=path, **kw
+        )
+        lines = open(path).read().strip().splitlines()
+        assert len(lines) == 10, kw
+        assert lines[0].split() == ["q/a.jpg", "db/003.jpg"], kw
+        assert lines[5].split() == ["q/b.jpg", "db/007.jpg"], kw
+
+
 def test_u8_entry_matches_float_entry():
     """extract()'s uint8 device path == the float/mask path, bitwise-close."""
     from irtpu.data.images import make_batches

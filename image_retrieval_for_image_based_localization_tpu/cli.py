@@ -499,6 +499,43 @@ def cmd_fullsystem(argv):
     print(json.dumps(res))
 
 
+def cmd_serve(argv):
+    """Long-lived serving process: gallery HBM-resident, model compiled
+    once, JSON-over-HTTP query/extract endpoints (``serving.py``)."""
+    p = argparse.ArgumentParser(prog="serve")
+    _model_args(p)
+    p.add_argument("--index", required=True, help="index .npz from build-index")
+    p.add_argument("--db-names", default=None,
+                   help="optional text file, one db image name per line")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7878)
+    p.add_argument("--no-model", action="store_true",
+                   help="serve /query only (skip loading the extractor)")
+    p.add_argument("--data-root", default="data",
+                   help="cache root for --network checkpoint fetch")
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
+    from image_retrieval_for_image_based_localization_tpu.serving import serve
+
+    index = Index.load(args.index)
+    ex = None
+    if not args.no_model:
+        from image_retrieval_for_image_based_localization_tpu.api import Extractor
+
+        net_vars, _ = _resolve_network(args)
+        cfg = _build_extract_cfg(args)
+        ex = Extractor(cfg)
+        variables = _load_variables(args, ex.model) or net_vars
+        if variables is not None:
+            ex = Extractor(cfg, variables=variables)
+    db_names = None
+    if args.db_names:
+        db_names = [l.strip() for l in open(args.db_names) if l.strip()]
+    serve(index, extractor=ex, db_names=db_names,
+          host=args.host, port=args.port)
+
+
 def cmd_download(argv):
     p = argparse.ArgumentParser(
         prog="download",
@@ -547,6 +584,7 @@ COMMANDS = {
     "parity": cmd_parity,
     "build-index": cmd_build_index,
     "query": cmd_query,
+    "serve": cmd_serve,
     "shortlist": cmd_shortlist,
 }
 

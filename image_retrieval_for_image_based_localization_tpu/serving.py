@@ -1,0 +1,191 @@
+"""Production serving endpoint: the retrieval stack behind one HTTP port.
+
+The reference is a batch CLI; deployment needs a long-lived process that
+keeps the model compiled and the gallery HBM-resident and answers queries
+at interactive latency. This module is that process — dependency-free
+(stdlib ``http.server``), JSON/binary protocol:
+
+  GET  /healthz            -> {"ok": true, "gallery": N, "dim": D, ...}
+  POST /query              -> top-k for descriptor queries
+        body: {"descriptors": [[...], ...], "k": 10,
+               "qe_nqe": 0, "qe_alpha": 3.0, "diffusion": false}
+        or raw float32 bytes with X-Shape: Nq,D and query params in the
+        URL (?k=10&qe=0&diffusion=0)
+        -> {"ids": [[...]], "scores": [[...]], "latency_ms": ...}
+  POST /extract            -> descriptor for an image
+        body: raw JPEG/PNG bytes -> {"descriptor": [...]}
+  POST /extract_query      -> image bytes straight to top-k (one hop)
+
+Device discipline: JAX dispatch is not thread-safe per-request here — a
+single lock serializes device work (one TPU chip = one compute stream;
+HTTP threads only overlap host I/O and JSON encoding). The first request
+of each (shape, k) pays the jit compile; operators should warm the pod
+with a canary query.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class RetrievalService:
+    """The servable: an Index (+ optional Extractor for image queries)."""
+
+    def __init__(self, index, extractor=None, db_names=None):
+        self.index = index
+        self.extractor = extractor
+        self.db_names = db_names
+        self._lock = threading.Lock()  # serializes TPU dispatch
+
+    def query(self, q: np.ndarray, k: int = 10, qe_nqe: int = 0,
+              qe_alpha: float = 3.0, diffusion: bool = False):
+        q = np.atleast_2d(np.asarray(q, np.float32))
+        with self._lock:
+            if diffusion:
+                ranks = self.index.diffusion_ranks(
+                    q, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
+                idx = ranks[:k].T
+                scores = np.zeros(idx.shape, np.float32)
+            else:
+                scores, idx = self.index.query(
+                    q, k=k, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
+        names = None
+        if self.db_names is not None:
+            names = [[self.db_names[int(i)] for i in row] for row in idx]
+        elif self.index.ids is not None:
+            names = [[str(self.index.ids[int(i)]) for i in row] for row in idx]
+        return scores, idx, names
+
+    def extract(self, image_bytes: bytes) -> np.ndarray:
+        if self.extractor is None:
+            raise RuntimeError("no model loaded (start with --network or "
+                               "--checkpoint to serve /extract)")
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        import tempfile, os
+
+        # the Extractor's public entry is path-based (it owns resize policy)
+        with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+            Image.fromarray(img).save(f, format="PNG")
+            path = f.name
+        try:
+            with self._lock:
+                d = self.extractor.extract([path])
+        finally:
+            os.unlink(path)
+        return np.asarray(d)[0]
+
+
+def _make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; metrics go to the JSON replies
+            pass
+
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/healthz"):
+                self._send(200, {
+                    "ok": True,
+                    "gallery": int(service.index.gallery.shape[0]),
+                    "dim": int(service.index.gallery.shape[1]),
+                    "model": service.extractor is not None,
+                })
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_POST(self):
+            t0 = time.time()
+            try:
+                path, _, qs = self.path.partition("?")
+                params = dict(
+                    kv.split("=", 1) for kv in qs.split("&") if "=" in kv
+                )
+                if path == "/query":
+                    raw = self._body()
+                    shape = self.headers.get("X-Shape")
+                    if shape:  # raw float32 payload
+                        nq, d = (int(v) for v in shape.split(","))
+                        q = np.frombuffer(raw, np.float32).reshape(nq, d)
+                        req = {}
+                    else:
+                        req = json.loads(raw)
+                        q = np.asarray(req["descriptors"], np.float32)
+                    k = int(req.get("k", params.get("k", 10)))
+                    qe = int(req.get("qe_nqe", params.get("qe", 0)))
+                    qa = float(req.get("qe_alpha", params.get("qe_alpha", 3.0)))
+                    diff_raw = req.get("diffusion",
+                                       params.get("diffusion", 0))
+                    diff = (bool(int(diff_raw))
+                            if isinstance(diff_raw, (str, int))
+                            else bool(diff_raw))
+                    scores, idx, names = service.query(
+                        q, k=k, qe_nqe=qe, qe_alpha=qa, diffusion=diff)
+                    self._send(200, {
+                        "ids": idx.tolist(),
+                        "scores": np.asarray(scores, np.float64).tolist(),
+                        "names": names,
+                        "latency_ms": round((time.time() - t0) * 1e3, 2),
+                    })
+                elif path in ("/extract", "/extract_query"):
+                    d = service.extract(self._body())
+                    if path == "/extract":
+                        self._send(200, {
+                            "descriptor": d.astype(np.float64).tolist(),
+                            "latency_ms": round((time.time() - t0) * 1e3, 2),
+                        })
+                    else:
+                        k = int(params.get("k", 10))
+                        scores, idx, names = service.query(d[None], k=k)
+                        self._send(200, {
+                            "ids": idx[0].tolist(),
+                            "scores": np.asarray(
+                                scores[0], np.float64).tolist(),
+                            "names": None if names is None else names[0],
+                            "latency_ms": round((time.time() - t0) * 1e3, 2),
+                        })
+                else:
+                    self._send(404, {"error": f"unknown path {path}"})
+            except Exception as e:  # noqa: BLE001 - reply, don't kill server
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(
+    index,
+    extractor=None,
+    db_names=None,
+    host: str = "127.0.0.1",
+    port: int = 7878,
+    block: bool = True,
+) -> ThreadingHTTPServer:
+    """Start the retrieval service; returns the server (non-blocking mode
+    runs it on a daemon thread — used by tests and embedders)."""
+    service = RetrievalService(index, extractor=extractor, db_names=db_names)
+    srv = ThreadingHTTPServer((host, port), _make_handler(service))
+    if block:
+        print(f"serving gallery[{index.gallery.shape[0]}] on "
+              f"http://{host}:{srv.server_address[1]}")
+        srv.serve_forever()
+    else:
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

@@ -1,0 +1,113 @@
+"""Serving endpoint tests: health, JSON + raw-binary /query, re-ranked
+queries, /extract + /extract_query with a real model, and error replies."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from irtpu.retrieval.index import Index
+from irtpu.serving import serve
+from irtpu.utils.config import IndexConfig
+
+
+@pytest.fixture()
+def service_url():
+    rng = np.random.RandomState(13)
+    db = rng.randn(40, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = Index.build(db, IndexConfig(whitening=None),
+                        ids=[f"db/{i:03d}.jpg" for i in range(40)])
+    srv = serve(index, block=False, port=0)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", db
+    srv.shutdown()
+
+
+def _post(url, data, headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(service_url):
+    url, db = service_url
+    with urllib.request.urlopen(f"{url}/healthz") as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["gallery"] == 40 and h["dim"] == 16
+    assert h["model"] is False
+
+
+def test_query_json(service_url):
+    url, db = service_url
+    q = db[[3, 7]] + 0.01
+    res = _post(f"{url}/query",
+                json.dumps({"descriptors": q.tolist(), "k": 5}).encode())
+    assert res["ids"][0][0] == 3 and res["ids"][1][0] == 7
+    assert res["names"][0][0] == "db/003.jpg"
+    assert len(res["scores"][0]) == 5 and res["latency_ms"] >= 0
+
+
+def test_query_raw_binary(service_url):
+    url, db = service_url
+    q = np.ascontiguousarray(db[[5]], np.float32)
+    res = _post(f"{url}/query?k=3", q.tobytes(),
+                headers={"X-Shape": "1,16"})
+    assert res["ids"][0][0] == 5
+
+
+def test_query_reranked(service_url):
+    url, db = service_url
+    q = db[[3]]
+    for extra in ({"qe_nqe": 5}, {"diffusion": True}):
+        res = _post(f"{url}/query", json.dumps(
+            {"descriptors": q.tolist(), "k": 5, **extra}).encode())
+        assert res["ids"][0][0] == 3, extra
+
+
+def test_error_reply(service_url):
+    url, _ = service_url
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{url}/query", b"not json")
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+    # /extract without a model -> clean 400, not a dead server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{url}/extract", b"\xff\xd8bogus")
+    assert ei.value.code == 400
+
+
+def test_extract_and_extract_query(tmp_path):
+    """Image-in, top-k-out through a real (random-weight) extractor."""
+    import io
+
+    from PIL import Image
+
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    ex = Extractor(ExtractConfig(model=ModelConfig(arch="resnet18"),
+                                 image_size=64, batch_size=2))
+    rng = np.random.RandomState(0)
+    imgs = [(rng.rand(48, 64, 3) * 255).astype(np.uint8) for _ in range(3)]
+    paths = []
+    for i, a in enumerate(imgs):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(str(p))
+    db = ex.extract(paths)
+    index = Index.build(db, IndexConfig(whitening=None))
+    srv = serve(index, extractor=ex, block=False, port=0)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        buf = io.BytesIO()
+        Image.fromarray(imgs[1]).save(buf, format="PNG")
+        res = _post(f"{url}/extract", buf.getvalue())
+        d = np.asarray(res["descriptor"], np.float32)
+        np.testing.assert_allclose(d, db[1], atol=1e-4)
+        res = _post(f"{url}/extract_query?k=2", buf.getvalue())
+        assert res["ids"][0] == 1  # self-match first
+    finally:
+        srv.shutdown()

@@ -338,6 +338,16 @@ def cmd_build_index(argv):
                    help="database-side augmentation neighbor count "
                         "(0 = off); beyond-reference mAP booster")
     p.add_argument("--dba-alpha", type=float, default=3.0)
+    p.add_argument("--ivf", type=int, default=None, nargs="?", const=0,
+                   metavar="C",
+                   help="ALSO build an IVF coarse quantizer with C "
+                        "partitions (bare --ivf = auto sqrt(N)) and save "
+                        "it next to the index as <out>.ivf.npz "
+                        "(approximate search for huge galleries)")
+    p.add_argument("--ivf-dtype", default="f32",
+                   choices=("f32", "bf16", "int8"),
+                   help="IVF partition storage: bf16 halves / int8 "
+                        "quarters per-probe HBM traffic")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
@@ -361,6 +371,18 @@ def cmd_build_index(argv):
     )
     index.save(args.out)
     print(f"built index over {descs.shape} -> {args.out}")
+    if args.ivf is not None:
+        from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+            IVFIndex,
+        )
+
+        ivf = IVFIndex.build(index.gallery,
+                             n_clusters=args.ivf or None,
+                             dtype=args.ivf_dtype)
+        ivf_path = args.out.removesuffix(".npz") + ".ivf.npz"
+        ivf.save(ivf_path)
+        print(f"built IVF quantizer: C={ivf.centroids.shape[0]} "
+              f"pad_ratio={ivf.pad_ratio:.2f} -> {ivf_path}")
 
 
 def cmd_query(argv):
@@ -373,6 +395,10 @@ def cmd_query(argv):
                    help="alpha-query-expansion neighbor count (0 = off)")
     p.add_argument("--qe-alpha", type=float, default=3.0,
                    help="alphaQE weight exponent (0 = average QE)")
+    p.add_argument("--ivf", default=None, metavar="IVF_NPZ",
+                   help="IVF quantizer from build-index --ivf: "
+                        "approximate probe search instead of exact")
+    p.add_argument("--nprobe", type=int, default=8)
     p.add_argument("--out", default=None, help="optional .npz for scores/indices")
     args = p.parse_args(argv)
 
@@ -380,7 +406,15 @@ def cmd_query(argv):
 
     index = Index.load(args.index)
     qd = np.load(args.queries)
-    if args.sharded:
+    if args.ivf:
+        from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+            IVFIndex,
+        )
+
+        ivf = IVFIndex.load(args.ivf)
+        qt = index.transform_queries(qd)
+        scores, idx = ivf.search(qt, k=args.k, nprobe=args.nprobe)
+    elif args.sharded:
         from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
             ShardedIndex,
         )
@@ -513,6 +547,12 @@ def cmd_serve(argv):
                    help="serve /query only (skip loading the extractor)")
     p.add_argument("--data-root", default="data",
                    help="cache root for --network checkpoint fetch")
+    p.add_argument("--ivf", default=None, metavar="IVF_NPZ",
+                   help="IVF quantizer from build-index --ivf: serve "
+                        "approximate probe search by default (per-request "
+                        "exact=1 still forces exact)")
+    p.add_argument("--nprobe", type=int, default=8,
+                   help="default partitions probed per IVF query")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
@@ -532,8 +572,15 @@ def cmd_serve(argv):
     db_names = None
     if args.db_names:
         db_names = [l.strip() for l in open(args.db_names) if l.strip()]
+    ivf = None
+    if args.ivf:
+        from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+            IVFIndex,
+        )
+
+        ivf = IVFIndex.load(args.ivf)
     serve(index, extractor=ex, db_names=db_names,
-          host=args.host, port=args.port)
+          host=args.host, port=args.port, ivf=ivf, nprobe=args.nprobe)
 
 
 def cmd_download(argv):

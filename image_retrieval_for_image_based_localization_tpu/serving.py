@@ -8,9 +8,10 @@ at interactive latency. This module is that process — dependency-free
   GET  /healthz            -> {"ok": true, "gallery": N, "dim": D, ...}
   POST /query              -> top-k for descriptor queries
         body: {"descriptors": [[...], ...], "k": 10,
-               "qe_nqe": 0, "qe_alpha": 3.0, "diffusion": false}
+               "qe_nqe": 0, "qe_alpha": 3.0, "diffusion": false,
+               "nprobe": 8, "exact": 0}   (nprobe/exact: IVF-mode knobs)
         or raw float32 bytes with X-Shape: Nq,D and query params in the
-        URL (?k=10&qe=0&diffusion=0)
+        URL (?k=10&qe=0&diffusion=0&nprobe=8&exact=0)
         -> {"ids": [[...]], "scores": [[...]], "latency_ms": ...}
   POST /extract            -> descriptor for an image
         body: raw JPEG/PNG bytes -> {"descriptor": [...]}
@@ -36,19 +37,38 @@ import numpy as np
 
 
 class RetrievalService:
-    """The servable: an Index (+ optional Extractor for image queries)."""
+    """The servable: an Index (+ optional Extractor for image queries,
+    + optional IVF quantizer for approximate low-latency search).
 
-    def __init__(self, index, extractor=None, db_names=None):
+    With ``ivf`` set, plain top-k queries go through the coarse-quantized
+    probe path (``retrieval.ivf``) — the single-query HBM traffic drops to
+    ``nprobe/C`` of the gallery, which is exactly the serving-latency
+    case IVF exists for. Requests can tune ``nprobe`` or force the exact
+    path per-call (``exact=1``); QE/diffusion requests always use the
+    exact path (both re-rank against the FULL gallery by construction).
+    """
+
+    def __init__(self, index, extractor=None, db_names=None,
+                 ivf=None, nprobe: int = 8):
         self.index = index
         self.extractor = extractor
         self.db_names = db_names
+        self.ivf = ivf
+        self.nprobe = nprobe
         self._lock = threading.Lock()  # serializes TPU dispatch
 
     def query(self, q: np.ndarray, k: int = 10, qe_nqe: int = 0,
-              qe_alpha: float = 3.0, diffusion: bool = False):
+              qe_alpha: float = 3.0, diffusion: bool = False,
+              nprobe: Optional[int] = None, exact: bool = False):
         q = np.atleast_2d(np.asarray(q, np.float32))
+        use_ivf = (self.ivf is not None and not exact
+                   and not diffusion and not qe_nqe)
         with self._lock:
-            if diffusion:
+            if use_ivf:
+                scores, idx = self.ivf.search(
+                    self.index.transform_queries(q), k=k,
+                    nprobe=nprobe or self.nprobe)
+            elif diffusion:
                 ranks = self.index.diffusion_ranks(
                     q, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
                 idx = ranks[:k].T
@@ -104,6 +124,11 @@ def _make_handler(service: RetrievalService):
                     "gallery": int(service.index.gallery.shape[0]),
                     "dim": int(service.index.gallery.shape[1]),
                     "model": service.extractor is not None,
+                    "ivf": None if service.ivf is None else {
+                        "clusters": int(service.ivf.centroids.shape[0]),
+                        "nprobe": service.nprobe,
+                        "pad_ratio": round(service.ivf.pad_ratio, 3),
+                    },
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
@@ -137,8 +162,13 @@ def _make_handler(service: RetrievalService):
                     diff = (bool(int(diff_raw))
                             if isinstance(diff_raw, (str, int))
                             else bool(diff_raw))
+                    np_raw = req.get("nprobe", params.get("nprobe"))
+                    exact = bool(int(req.get("exact",
+                                             params.get("exact", 0))))
                     scores, idx, names = service.query(
-                        q, k=k, qe_nqe=qe, qe_alpha=qa, diffusion=diff)
+                        q, k=k, qe_nqe=qe, qe_alpha=qa, diffusion=diff,
+                        nprobe=None if np_raw is None else int(np_raw),
+                        exact=exact)
                     self._send(200, {
                         "ids": idx.tolist(),
                         "scores": np.asarray(scores, np.float64).tolist(),
@@ -177,10 +207,13 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 7878,
     block: bool = True,
+    ivf=None,
+    nprobe: int = 8,
 ) -> ThreadingHTTPServer:
     """Start the retrieval service; returns the server (non-blocking mode
     runs it on a daemon thread — used by tests and embedders)."""
-    service = RetrievalService(index, extractor=extractor, db_names=db_names)
+    service = RetrievalService(index, extractor=extractor, db_names=db_names,
+                               ivf=ivf, nprobe=nprobe)
     srv = ThreadingHTTPServer((host, port), _make_handler(service))
     if block:
         print(f"serving gallery[{index.gallery.shape[0]}] on "

@@ -111,3 +111,40 @@ def test_extract_and_extract_query(tmp_path):
         assert res["ids"][0] == 1  # self-match first
     finally:
         srv.shutdown()
+
+
+def test_ivf_serving():
+    """IVF-backed /query: approximate by default, exact=1 bypass, healthz
+    reports the quantizer, QE requests fall back to the exact path."""
+    from irtpu.retrieval.ivf import IVFIndex
+
+    rng = np.random.RandomState(21)
+    db = rng.randn(120, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = Index.build(db, IndexConfig(whitening=None))
+    ivf = IVFIndex.build(db, n_clusters=6)
+    srv = serve(index, ivf=ivf, nprobe=6, block=False, port=0)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            h = json.loads(r.read())
+        assert h["ivf"] == {"clusters": 6, "nprobe": 6,
+                            "pad_ratio": h["ivf"]["pad_ratio"]}
+        q = db[[3, 9]] + 0.01
+        body = json.dumps({"descriptors": q.tolist(), "k": 5}).encode()
+        res = _post(f"{url}/query", body)  # full probe == exact (CPU)
+        ex = _post(f"{url}/query?exact=1", body)
+        assert res["ids"] == ex["ids"]
+        assert res["ids"][0][0] == 3 and res["ids"][1][0] == 9
+        # per-request nprobe narrows the probe but keeps self-match
+        res1 = _post(f"{url}/query?nprobe=1", body)
+        assert res1["ids"][0][0] == 3
+        # QE forces the exact path (needs the full gallery): same answer
+        # as the exact QE query through the index
+        qe = _post(f"{url}/query", json.dumps(
+            {"descriptors": q.tolist(), "k": 5, "qe_nqe": 2}).encode())
+        s_ref, i_ref = index.query(q, k=5, qe_nqe=2)
+        assert qe["ids"] == i_ref.tolist()
+    finally:
+        srv.shutdown()

@@ -413,6 +413,12 @@ def cmd_query(argv):
 
         ivf = IVFIndex.load(args.ivf)
         qt = index.transform_queries(qd)
+        if args.sharded:  # cluster-sharded probe across the mesh
+            from image_retrieval_for_image_based_localization_tpu.parallel.sharded_ivf import (
+                ShardedIVF,
+            )
+
+            ivf = ShardedIVF(ivf)
         scores, idx = ivf.search(qt, k=args.k, nprobe=args.nprobe)
     elif args.sharded:
         from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (

@@ -6,3 +6,7 @@ from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index imp
     ShardedIndex,
     sharded_knn,
 )
+from image_retrieval_for_image_based_localization_tpu.parallel.sharded_ivf import (  # noqa: F401
+    ShardedIVF,
+    sharded_ivf_search,
+)

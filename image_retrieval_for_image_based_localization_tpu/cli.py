@@ -348,6 +348,14 @@ def cmd_build_index(argv):
                    choices=("f32", "bf16", "int8"),
                    help="IVF partition storage: bf16 halves / int8 "
                         "quarters per-probe HBM traffic")
+    p.add_argument("--pq", type=int, default=None, nargs="?", const=0,
+                   metavar="M",
+                   help="ALSO build a product-quantized gallery with M "
+                        "code bytes/row (bare --pq = auto D/32, 128x "
+                        "compression); combined with --ivf (f32) this "
+                        "becomes an IVF-PQ residual index "
+                        "(<out>.ivfpq.npz), alone a flat ADC index "
+                        "(<out>.pq.npz)")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
@@ -371,6 +379,7 @@ def cmd_build_index(argv):
     )
     index.save(args.out)
     print(f"built index over {descs.shape} -> {args.out}")
+    ivf = None
     if args.ivf is not None:
         from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
             IVFIndex,
@@ -383,6 +392,25 @@ def cmd_build_index(argv):
         ivf.save(ivf_path)
         print(f"built IVF quantizer: C={ivf.centroids.shape[0]} "
               f"pad_ratio={ivf.pad_ratio:.2f} -> {ivf_path}")
+    if args.pq is not None:
+        from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+            IVFPQIndex, PQIndex,
+        )
+
+        if ivf is not None:
+            if args.ivf_dtype != "f32":
+                p.error("--pq with --ivf needs --ivf-dtype f32 "
+                        "(residuals of quantized rows double-compress)")
+            pq = IVFPQIndex.from_ivf(ivf, m=args.pq or None)
+            pq_path = args.out.removesuffix(".npz") + ".ivfpq.npz"
+        else:
+            pq = PQIndex.build(index.gallery, m=args.pq or None)
+            pq_path = args.out.removesuffix(".npz") + ".pq.npz"
+        pq.save(pq_path)
+        M = pq.codebooks.shape[0]
+        D = index.gallery.shape[1]
+        print(f"built PQ codes: M={M} ({D * 4 / M:.0f}x compression) "
+              f"-> {pq_path}")
 
 
 def cmd_query(argv):
@@ -399,6 +427,13 @@ def cmd_query(argv):
                    help="IVF quantizer from build-index --ivf: "
                         "approximate probe search instead of exact")
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--pq", default=None, metavar="PQ_NPZ",
+                   help="PQ artifact from build-index --pq (.pq.npz or "
+                        ".ivfpq.npz, auto-detected): ADC search over the "
+                        "compressed gallery")
+    p.add_argument("--refine", type=int, default=0, metavar="R",
+                   help="with --pq: exact-rescore the top-R ADC candidates "
+                        "against the f32 gallery (0 = pure ADC scores)")
     p.add_argument("--out", default=None, help="optional .npz for scores/indices")
     args = p.parse_args(argv)
 
@@ -406,7 +441,23 @@ def cmd_query(argv):
 
     index = Index.load(args.index)
     qd = np.load(args.queries)
-    if args.ivf:
+    if args.pq:
+        if args.ivf:
+            p.error("--pq and --ivf are exclusive (an .ivfpq.npz artifact "
+                    "already embeds its coarse quantizer)")
+        from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+            IVFPQIndex,
+            load_pq_artifact,
+        )
+
+        pq = load_pq_artifact(args.pq)
+        qt = np.asarray(index.transform_queries(qd))
+        kw = dict(k=args.k, refine=args.refine,
+                  gallery=index.gallery if args.refine else None)
+        if isinstance(pq, IVFPQIndex):
+            kw["nprobe"] = args.nprobe
+        scores, idx = pq.search(qt, **kw)
+    elif args.ivf:
         from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
             IVFIndex,
         )

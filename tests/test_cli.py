@@ -145,3 +145,52 @@ def test_full_system_bench_small():
         # (1, 0) request list collapses to a single label
         assert len(res["decode_img_per_sec"]) >= 1
         assert all(v > 0 for v in res["decode_img_per_sec"].values())
+
+
+def test_cli_pq_build_and_query(tmp_path):
+    """build-index --pq emits PQ artifacts; query --pq --refine=N matches
+    exact search (full rescore makes ranking independent of ADC error)."""
+    rng = np.random.RandomState(7)
+    g = rng.randn(96, 32).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[:5] + 0.05 * rng.randn(5, 32).astype(np.float32)
+    descs = str(tmp_path / "d.npy")
+    qpath = str(tmp_path / "q.npy")
+    np.save(descs, g)
+    np.save(qpath, q)
+
+    index = str(tmp_path / "i.npz")
+    rc = main(["build-index", "--descriptors", descs, "--out", index,
+               "--whitening", "none", "--pq", "8"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "i.pq.npz"))
+
+    exact = str(tmp_path / "exact.npz")
+    assert main(["query", "--index", index, "--queries", qpath, "-k", "3",
+                 "--out", exact]) == 0
+    got = str(tmp_path / "pq.npz")
+    assert main(["query", "--index", index, "--queries", qpath, "-k", "3",
+                 "--pq", str(tmp_path / "i.pq.npz"), "--refine", "96",
+                 "--out", got]) == 0
+    ze, zg = np.load(exact), np.load(got)
+    np.testing.assert_array_equal(ze["indices"], zg["indices"])
+    np.testing.assert_allclose(ze["scores"], zg["scores"], atol=1e-5)
+
+    # IVF-PQ artifact: probe everything + full refine == exact again
+    rc = main(["build-index", "--descriptors", descs, "--out", index,
+               "--whitening", "none", "--ivf", "4", "--pq", "8"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "i.ivfpq.npz"))
+    got2 = str(tmp_path / "ivfpq.npz")
+    assert main(["query", "--index", index, "--queries", qpath, "-k", "3",
+                 "--pq", str(tmp_path / "i.ivfpq.npz"), "--nprobe", "4",
+                 "--refine", "96", "--out", got2]) == 0
+    z2 = np.load(got2)
+    np.testing.assert_array_equal(ze["indices"], z2["indices"])
+    np.testing.assert_allclose(ze["scores"], z2["scores"], atol=1e-5)
+
+    # --pq and --ivf together on the query side is a usage error
+    with pytest.raises(SystemExit):
+        main(["query", "--index", index, "--queries", qpath,
+              "--pq", str(tmp_path / "i.ivfpq.npz"),
+              "--ivf", str(tmp_path / "i.ivf.npz")])

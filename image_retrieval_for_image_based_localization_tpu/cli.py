@@ -609,8 +609,18 @@ def cmd_serve(argv):
                         "approximate probe search by default (per-request "
                         "exact=1 still forces exact)")
     p.add_argument("--nprobe", type=int, default=8,
-                   help="default partitions probed per IVF query")
+                   help="default partitions probed per IVF(-PQ) query")
+    p.add_argument("--pq", default=None, metavar="PQ_NPZ",
+                   help="PQ artifact from build-index --pq (.pq.npz or "
+                        ".ivfpq.npz): serve ADC search over the compressed "
+                        "gallery (exclusive with --ivf; per-request exact=1 "
+                        "still forces exact)")
+    p.add_argument("--refine", type=int, default=0, metavar="R",
+                   help="default exact-rescore depth for --pq queries")
     args = p.parse_args(argv)
+    if args.pq and args.ivf:
+        p.error("--pq and --ivf are exclusive (an .ivfpq.npz artifact "
+                "already embeds its coarse quantizer)")
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
     from image_retrieval_for_image_based_localization_tpu.serving import serve
@@ -636,8 +646,16 @@ def cmd_serve(argv):
         )
 
         ivf = IVFIndex.load(args.ivf)
+    pq = None
+    if args.pq:
+        from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+            load_pq_artifact,
+        )
+
+        pq = load_pq_artifact(args.pq)
     serve(index, extractor=ex, db_names=db_names,
-          host=args.host, port=args.port, ivf=ivf, nprobe=args.nprobe)
+          host=args.host, port=args.port, ivf=ivf, nprobe=args.nprobe,
+          pq=pq, refine=args.refine)
 
 
 def cmd_download(argv):

@@ -9,9 +9,10 @@ at interactive latency. This module is that process — dependency-free
   POST /query              -> top-k for descriptor queries
         body: {"descriptors": [[...], ...], "k": 10,
                "qe_nqe": 0, "qe_alpha": 3.0, "diffusion": false,
-               "nprobe": 8, "exact": 0}   (nprobe/exact: IVF-mode knobs)
+               "nprobe": 8, "exact": 0, "refine": 0}
+              (nprobe/exact: IVF knobs; refine: PQ rescore depth)
         or raw float32 bytes with X-Shape: Nq,D and query params in the
-        URL (?k=10&qe=0&diffusion=0&nprobe=8&exact=0)
+        URL (?k=10&qe=0&diffusion=0&nprobe=8&exact=0&refine=0)
         -> {"ids": [[...]], "scores": [[...]], "latency_ms": ...}
   POST /extract            -> descriptor for an image
         body: raw JPEG/PNG bytes -> {"descriptor": [...]}
@@ -43,28 +44,50 @@ class RetrievalService:
     With ``ivf`` set, plain top-k queries go through the coarse-quantized
     probe path (``retrieval.ivf``) — the single-query HBM traffic drops to
     ``nprobe/C`` of the gallery, which is exactly the serving-latency
-    case IVF exists for. Requests can tune ``nprobe`` or force the exact
-    path per-call (``exact=1``); QE/diffusion requests always use the
-    exact path (both re-rank against the FULL gallery by construction).
+    case IVF exists for. ``pq`` (a ``retrieval.pq`` PQIndex/IVFPQIndex,
+    exclusive with ``ivf``) serves ADC search over the compressed codes
+    instead, with ``refine`` exact-rescored candidates per request.
+    Requests can tune ``nprobe``/``refine`` or force the exact path
+    per-call (``exact=1``); QE/diffusion requests always use the exact
+    path (both re-rank against the FULL gallery by construction).
     """
 
     def __init__(self, index, extractor=None, db_names=None,
-                 ivf=None, nprobe: int = 8):
+                 ivf=None, nprobe: int = 8, pq=None, refine: int = 0):
+        if ivf is not None and pq is not None:
+            raise ValueError("ivf and pq are exclusive (an IVFPQIndex "
+                             "already embeds its coarse quantizer)")
         self.index = index
         self.extractor = extractor
         self.db_names = db_names
         self.ivf = ivf
         self.nprobe = nprobe
+        self.pq = pq
+        self.refine = refine
         self._lock = threading.Lock()  # serializes TPU dispatch
 
     def query(self, q: np.ndarray, k: int = 10, qe_nqe: int = 0,
               qe_alpha: float = 3.0, diffusion: bool = False,
-              nprobe: Optional[int] = None, exact: bool = False):
+              nprobe: Optional[int] = None, exact: bool = False,
+              refine: Optional[int] = None):
         q = np.atleast_2d(np.asarray(q, np.float32))
-        use_ivf = (self.ivf is not None and not exact
-                   and not diffusion and not qe_nqe)
+        approx_ok = not exact and not diffusion and not qe_nqe
+        use_ivf = self.ivf is not None and approx_ok
+        use_pq = self.pq is not None and approx_ok
         with self._lock:
-            if use_ivf:
+            if use_pq:
+                from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+                    IVFPQIndex,
+                )
+
+                r = self.refine if refine is None else refine
+                kw = dict(k=k, refine=r,
+                          gallery=self.index.gallery if r else None)
+                if isinstance(self.pq, IVFPQIndex):
+                    kw["nprobe"] = nprobe or self.nprobe
+                scores, idx = self.pq.search(
+                    self.index.transform_queries(q), **kw)
+            elif use_ivf:
                 scores, idx = self.ivf.search(
                     self.index.transform_queries(q), k=k,
                     nprobe=nprobe or self.nprobe)
@@ -129,6 +152,11 @@ def _make_handler(service: RetrievalService):
                         "nprobe": service.nprobe,
                         "pad_ratio": round(service.ivf.pad_ratio, 3),
                     },
+                    "pq": None if service.pq is None else {
+                        "m": int(service.pq.codebooks.shape[0]),
+                        "refine": service.refine,
+                        "ivf": hasattr(service.pq, "centroids"),
+                    },
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
@@ -163,12 +191,14 @@ def _make_handler(service: RetrievalService):
                             if isinstance(diff_raw, (str, int))
                             else bool(diff_raw))
                     np_raw = req.get("nprobe", params.get("nprobe"))
+                    rf_raw = req.get("refine", params.get("refine"))
                     exact = bool(int(req.get("exact",
                                              params.get("exact", 0))))
                     scores, idx, names = service.query(
                         q, k=k, qe_nqe=qe, qe_alpha=qa, diffusion=diff,
                         nprobe=None if np_raw is None else int(np_raw),
-                        exact=exact)
+                        exact=exact,
+                        refine=None if rf_raw is None else int(rf_raw))
                     self._send(200, {
                         "ids": idx.tolist(),
                         "scores": np.asarray(scores, np.float64).tolist(),
@@ -209,11 +239,13 @@ def serve(
     block: bool = True,
     ivf=None,
     nprobe: int = 8,
+    pq=None,
+    refine: int = 0,
 ) -> ThreadingHTTPServer:
     """Start the retrieval service; returns the server (non-blocking mode
     runs it on a daemon thread — used by tests and embedders)."""
     service = RetrievalService(index, extractor=extractor, db_names=db_names,
-                               ivf=ivf, nprobe=nprobe)
+                               ivf=ivf, nprobe=nprobe, pq=pq, refine=refine)
     srv = ThreadingHTTPServer((host, port), _make_handler(service))
     if block:
         print(f"serving gallery[{index.gallery.shape[0]}] on "

@@ -148,3 +148,50 @@ def test_ivf_serving():
         assert qe["ids"] == i_ref.tolist()
     finally:
         srv.shutdown()
+
+
+def test_pq_serving():
+    """PQ-backed /query: ADC by default, full refine == exact, per-request
+    refine override, exact=1 bypass, healthz reports the codec."""
+    from irtpu.retrieval.pq import PQIndex
+
+    rng = np.random.RandomState(33)
+    db = rng.randn(120, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = Index.build(db, IndexConfig(whitening=None))
+    pq = PQIndex.build(index.gallery, m=4)
+    srv = serve(index, pq=pq, refine=0, block=False, port=0)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            h = json.loads(r.read())
+        assert h["pq"] == {"m": 4, "refine": 0, "ivf": False}
+        q = db[[3, 9]] + 0.01
+        body = json.dumps({"descriptors": q.tolist(), "k": 5}).encode()
+        ex = _post(f"{url}/query?exact=1", body)
+        assert ex["ids"][0][0] == 3 and ex["ids"][1][0] == 9
+        # full refine rescoring reproduces the exact ranking + scores
+        rf = _post(f"{url}/query?refine=120", body)
+        assert rf["ids"] == ex["ids"]
+        np.testing.assert_allclose(rf["scores"], ex["scores"], atol=1e-5)
+        # pure ADC answers (scores are reconstruction products, ids may
+        # differ) — just sanity: well-separated self-match survives m=4
+        adc = _post(f"{url}/query", body)
+        assert len(adc["ids"][0]) == 5
+    finally:
+        srv.shutdown()
+
+
+def test_serving_pq_ivf_exclusive():
+    from irtpu.retrieval.ivf import IVFIndex
+    from irtpu.retrieval.pq import PQIndex
+    from irtpu.serving import RetrievalService
+
+    rng = np.random.RandomState(3)
+    db = rng.randn(64, 16).astype(np.float32)
+    index = Index.build(db, IndexConfig(whitening=None))
+    ivf = IVFIndex.build(index.gallery, n_clusters=4)
+    pq = PQIndex.build(index.gallery, m=4)
+    with pytest.raises(ValueError, match="exclusive"):
+        RetrievalService(index, ivf=ivf, pq=pq)

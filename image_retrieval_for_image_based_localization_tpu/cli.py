@@ -454,7 +454,17 @@ def cmd_query(argv):
         qt = np.asarray(index.transform_queries(qd))
         kw = dict(k=args.k, refine=args.refine,
                   gallery=index.gallery if args.refine else None)
-        if isinstance(pq, IVFPQIndex):
+        if args.sharded:  # codes row-sharded over the gallery mesh axis
+            if isinstance(pq, IVFPQIndex):
+                p.error("--sharded --pq takes a flat .pq.npz artifact "
+                        "(cluster-sharded approximate search is "
+                        "--ivf --sharded)")
+            from image_retrieval_for_image_based_localization_tpu.parallel.sharded_pq import (
+                ShardedPQ,
+            )
+
+            pq = ShardedPQ(pq)
+        elif isinstance(pq, IVFPQIndex):
             kw["nprobe"] = args.nprobe
         scores, idx = pq.search(qt, **kw)
     elif args.ivf:

@@ -127,18 +127,26 @@ def _adc_block(lut: jnp.ndarray, codes_block: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(g, axis=1)                            # [nq, c]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _adc_search(
-    codebooks: jnp.ndarray,
+def adc_topk_core(
+    lut: jnp.ndarray,     # [nq, M, 256] f32
     codes: jnp.ndarray,   # [N, M] uint8
-    q: jnp.ndarray,       # [nq, D] f32
     k: int,
     chunk: int,
+    n_valid=None,         # traced-ok: rows >= n_valid score NEG_INF
+    index_offset=0,       # traced-ok: global row id of local row 0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming ADC top-k over the code matrix (knn.streaming_topk shape)."""
+    """Streaming ADC top-k over a code matrix (knn.streaming_topk shape).
+
+    shard_map-safe: ``n_valid``/``index_offset`` may be traced values, so
+    a gallery-axis shard can mask its pad rows and emit GLOBAL row ids
+    (mirrors ``knn.streaming_topk``'s contract for ``sharded_knn``).
+    """
     N, M = codes.shape
-    nq = q.shape[0]
-    lut = _build_luts(codebooks, q)
+    nq = lut.shape[0]
+    if n_valid is None:
+        n_valid = N
+    k = min(k, N)                      # a shard can't supply more rows
+    chunk = min(max(chunk, k), N)      # blockmax needs k <= block width
     nchunks = -(-N // chunk)
     pad = nchunks * chunk - N
     if pad:
@@ -156,14 +164,26 @@ def _adc_search(
         block, cstart = inp
         s = _adc_block(lut, block)
         lidx = cstart + jax.lax.broadcasted_iota(jnp.int32, (nq, chunk), 1)
-        s = jnp.where(lidx < N, s, NEG_INF)
+        s = jnp.where(lidx < n_valid, s, NEG_INF)
         cs, cpos = blockmax_topk(s, k)
         cand_s = jnp.concatenate([cur_s, cs], axis=1)
-        cand_i = jnp.concatenate([cur_i, cstart + cpos], axis=1)
+        cand_i = jnp.concatenate([cur_i, index_offset + cstart + cpos], axis=1)
         return merge_topk(cand_s, cand_i, k), None
 
     (scores, idx), _ = jax.lax.scan(body, init, (cblocks, starts))
     return scores, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _adc_search(
+    codebooks: jnp.ndarray,
+    codes: jnp.ndarray,   # [N, M] uint8
+    q: jnp.ndarray,       # [nq, D] f32
+    k: int,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    lut = _build_luts(codebooks, q)
+    return adc_topk_core(lut, codes, k=k, chunk=chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -182,6 +202,18 @@ def _exact_rescore(
     n = gallery.shape[0]
     cand = jnp.sort(cand, axis=1)
     sub = jnp.take(gallery, jnp.clip(cand, 0, n - 1), axis=0)  # [nq, R, D]
+    return rescore_rows(sub, q, cand, n, k=k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rescore_rows(
+    sub: jnp.ndarray, q: jnp.ndarray, cand: jnp.ndarray, n, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-score pre-gathered candidate rows ``sub [nq, R, D]`` against
+    queries and take top-k. ``cand`` must be ascending per row (the tie
+    contract's index-monotonic precondition); rows >= n score NEG_INF.
+    Used directly by the sharded PQ path, where the f32 gallery lives on
+    host and the [nq, R, D] gather happens there."""
     s = jnp.einsum(
         "qd,qrd->qr", q.astype(sub.dtype), sub,
         preferred_element_type=jnp.float32,

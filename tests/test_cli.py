@@ -194,3 +194,15 @@ def test_cli_pq_build_and_query(tmp_path):
         main(["query", "--index", index, "--queries", qpath,
               "--pq", str(tmp_path / "i.ivfpq.npz"),
               "--ivf", str(tmp_path / "i.ivf.npz")])
+
+    # sharded ADC over the virtual mesh: full refine still == exact
+    got3 = str(tmp_path / "pq_sharded.npz")
+    assert main(["query", "--index", index, "--queries", qpath, "-k", "3",
+                 "--pq", str(tmp_path / "i.pq.npz"), "--sharded",
+                 "--refine", "96", "--out", got3]) == 0
+    z3 = np.load(got3)
+    np.testing.assert_array_equal(ze["indices"], z3["indices"])
+    # sharding an .ivfpq.npz artifact is a usage error
+    with pytest.raises(SystemExit):
+        main(["query", "--index", index, "--queries", qpath, "--sharded",
+              "--pq", str(tmp_path / "i.ivfpq.npz")])

@@ -106,6 +106,7 @@ class ShardedPQ:
         self.mesh = mesh if mesh is not None else default_mesh()
         self.axis = axis
         self.n = pq.n
+        self.rotation = pq.rotation  # OPQ: rotate queries host-side
         self.codebooks_np = pq.codebooks
         codes = pq.codes
         n_shards = self.mesh.shape[axis]
@@ -130,7 +131,8 @@ class ShardedPQ:
         """Distributed ADC top-k; ``refine=R`` exact-rescoring of the
         top-R rows against the HOST f32 ``gallery`` (see module doc)."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
-        qj = jax.device_put(q, self._rep)
+        qr = q if self.rotation is None else q @ self.rotation
+        qj = jax.device_put(qr, self._rep)
         k_eff = min(k, self.n)
         k_stage = min(max(refine, k_eff) if refine else k_eff, self.n)
         s, i = sharded_adc_topk(

@@ -86,6 +86,51 @@ def _train_codebooks(
     return books
 
 
+def _decode(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Reconstruct rows from codes: [n, M] uint8 -> [n, D] f32 (host)."""
+    M = codebooks.shape[0]
+    n = codes.shape[0]
+    return codebooks[np.arange(M)[None, :], codes.astype(np.int64)].reshape(
+        n, -1)
+
+
+def _train_opq_rotation(
+    x: np.ndarray, m: int, opq_iters: int, train_sample: int, seed: int
+) -> np.ndarray:
+    """OPQ: learn an orthogonal rotation R minimizing PQ reconstruction
+    error (Ge et al., CVPR 2013 — the non-parametric alternation).
+
+    Alternates (a) train codebooks + encode in the rotated space x@R with
+    (b) the orthogonal-Procrustes update R = UVᵀ from SVD(xᵀ x̂). Because R
+    is orthogonal, inner products are preserved exactly — ADC scores in
+    the rotated space ARE original-space scores of the (rotated-back)
+    reconstruction, so refine/exact-rescore semantics need no change.
+    Runs on the training subsample; per-iteration k-means is shortened
+    (the final full-strength codebook train happens afterwards in
+    ``build``)."""
+    n, d = x.shape
+    if n > train_sample:
+        sel = np.random.RandomState(seed).choice(n, train_sample,
+                                                 replace=False)
+        x = x[np.sort(sel)]
+    R = np.eye(d, dtype=np.float32)
+    for _ in range(opq_iters):
+        books = _train_codebooks(x @ R, m, kmeans_iters=8,
+                                 train_sample=train_sample, seed=seed)
+        bj = jnp.asarray(books)
+        codes = np.asarray(_encode(bj, jnp.asarray(x @ R)))
+        xhat = _decode(books, codes)
+        # orthogonal Procrustes: argmin_R ||xR - x̂||_F, R orthogonal
+        u, _, vt = np.linalg.svd(
+            np.asarray(
+                jnp.einsum("nd,ne->de", jnp.asarray(x), jnp.asarray(xhat),
+                           preferred_element_type=jnp.float32)
+            )
+        )
+        R = (u @ vt).astype(np.float32)
+    return R
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _encode(codebooks: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Nearest codebook entry per subspace: [n, D] -> [n, M] uint8.
@@ -223,12 +268,21 @@ def rescore_rows(
 
 
 class PQIndex:
-    """PQ-compressed gallery: codes [N, M] uint8 + codebooks [M, 256, ds]."""
+    """PQ-compressed gallery: codes [N, M] uint8 + codebooks [M, 256, ds].
 
-    def __init__(self, codebooks: np.ndarray, codes: np.ndarray, n: int):
+    ``rotation`` (optional ``[D, D]`` orthogonal, from OPQ training) maps
+    descriptors into the space the codebooks live in; queries are rotated
+    at search time. Inner products are preserved by orthogonality, so
+    every downstream contract (refine, tie order on equal scores) is
+    unchanged."""
+
+    def __init__(self, codebooks: np.ndarray, codes: np.ndarray, n: int,
+                 rotation: Optional[np.ndarray] = None):
         self.codebooks = np.asarray(codebooks, np.float32)
         self.codes = np.asarray(codes, np.uint8)
         self.n = int(n)
+        self.rotation = (None if rotation is None
+                         else np.asarray(rotation, np.float32))
         self._dev = None
 
     @property
@@ -244,11 +298,16 @@ class PQIndex:
         kmeans_iters: int = 25,
         train_sample: int = 262_144,
         seed: int = 0,
+        opq_iters: int = 0,
     ) -> "PQIndex":
         """Train codebooks on the gallery and encode it.
 
         ``m`` (code bytes per row) defaults to ``D/32`` — 128x compression —
-        clamped to a divisor of D in [4, 256].
+        clamped to a divisor of D in [4, 256]. ``opq_iters > 0`` first
+        learns an OPQ rotation (``_train_opq_rotation``) and trains/encodes
+        in the rotated space — better codebook fit when variance is spread
+        unevenly across the subspace split, at identical search cost (one
+        extra [nq, D]x[D, D] query rotation).
         """
         g = np.asarray(gallery, np.float32)
         n, d = g.shape
@@ -256,13 +315,18 @@ class PQIndex:
             m = max(4, min(256, d // 32))
             while d % m:
                 m -= 1
+        rotation = None
+        if opq_iters:
+            rotation = _train_opq_rotation(g, m, opq_iters, train_sample,
+                                           seed)
+            g = g @ rotation
         books = _train_codebooks(g, m, kmeans_iters, train_sample, seed)
         bj = jnp.asarray(books)
         codes = np.empty((n, m), np.uint8)
         step = 65536
         for i in range(0, n, step):
             codes[i : i + step] = np.asarray(_encode(bj, jnp.asarray(g[i : i + step])))
-        return cls(books, codes, n)
+        return cls(books, codes, n, rotation=rotation)
 
     def _device(self):
         if self._dev is None:
@@ -287,17 +351,21 @@ class PQIndex:
         """
         books, codes = self._device()
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        # ADC runs in the (rotated) codebook space; exact rescoring uses
+        # the ORIGINAL query against the unrotated gallery — orthogonality
+        # makes the two scores identical for exact reconstructions
+        q_adc = q if self.rotation is None else q @ self.rotation
         k_eff = min(k, self.n)
         if refine:
             if gallery is None:
                 raise ValueError("refine requires the f32 gallery")
             R = min(max(refine, k_eff), self.n)
-            _, cand = _adc_search(books, codes, jnp.asarray(q), k=R,
+            _, cand = _adc_search(books, codes, jnp.asarray(q_adc), k=R,
                                   chunk=min(chunk, self.n))
             s, i = _exact_rescore(jnp.asarray(gallery), jnp.asarray(q),
                                   cand, k=k_eff)
         else:
-            s, i = _adc_search(books, codes, jnp.asarray(q), k=k_eff,
+            s, i = _adc_search(books, codes, jnp.asarray(q_adc), k=k_eff,
                                chunk=min(chunk, self.n))
         return np.asarray(s), np.asarray(i)
 
@@ -305,10 +373,14 @@ class PQIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if self.rotation is not None:
+            extra["rotation"] = self.rotation
         np.savez_compressed(
             path, codebooks=self.codebooks, codes=self.codes,
             meta=np.frombuffer(
                 json.dumps({"n": self.n, "version": 1}).encode(), np.uint8),
+            **extra,
         )
 
     @classmethod
@@ -317,7 +389,8 @@ class PQIndex:
             path += ".npz"
         z = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(z["meta"]).decode())
-        return cls(z["codebooks"], z["codes"], meta["n"])
+        rot = z["rotation"] if "rotation" in z.files else None
+        return cls(z["codebooks"], z["codes"], meta["n"], rotation=rot)
 
 
 def load_pq_artifact(path: str):

@@ -206,3 +206,18 @@ def test_cli_pq_build_and_query(tmp_path):
     with pytest.raises(SystemExit):
         main(["query", "--index", index, "--queries", qpath, "--sharded",
               "--pq", str(tmp_path / "i.ivfpq.npz")])
+
+    # OPQ flat build: rotation persisted, refined query still == exact
+    assert main(["build-index", "--descriptors", descs, "--out", index,
+                 "--whitening", "none", "--pq", "8", "--opq", "3"]) == 0
+    got4 = str(tmp_path / "opq.npz")
+    assert main(["query", "--index", index, "--queries", qpath, "-k", "3",
+                 "--pq", str(tmp_path / "i.pq.npz"), "--refine", "96",
+                 "--out", got4]) == 0
+    z4 = np.load(got4)
+    np.testing.assert_array_equal(ze["indices"], z4["indices"])
+    # --opq with --ivf is a usage error (residual codes)
+    with pytest.raises(SystemExit):
+        main(["build-index", "--descriptors", descs, "--out", index,
+              "--whitening", "none", "--ivf", "4", "--pq", "8",
+              "--opq", "3"])

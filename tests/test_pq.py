@@ -206,3 +206,72 @@ def test_ivfpq_save_load_roundtrip(tmp_path):
     s2, i2 = back.search(q, k=5, nprobe=8)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2)
+
+
+# ---------------------------------------------------------------------------
+# OPQ: learned orthogonal rotation
+# ---------------------------------------------------------------------------
+
+
+def _aniso_corpus(n=4000, d=32, seed=0):
+    """Anisotropic spectrum under a dense random rotation — the case a
+    fixed subspace split handles worst and OPQ exists to fix."""
+    rng = np.random.RandomState(seed)
+    eigs = 1.0 / np.arange(1, d + 1)
+    Q, _ = np.linalg.qr(rng.randn(d, d))
+    return ((rng.randn(n, d) * np.sqrt(eigs)) @ Q).astype(np.float32)
+
+
+def test_opq_rotation_orthogonal_and_better_fit():
+    from irtpu.retrieval.pq import _decode
+
+    x = _aniso_corpus()
+    plain = PQIndex.build(x, m=8)
+    opq = PQIndex.build(x, m=8, opq_iters=10)
+    assert opq.rotation is not None and plain.rotation is None
+    d = x.shape[1]
+    np.testing.assert_allclose(opq.rotation @ opq.rotation.T, np.eye(d),
+                               atol=1e-5)
+    mse = lambda pq: np.mean(np.sum((
+        (x if pq.rotation is None else x @ pq.rotation)
+        - _decode(pq.codebooks, pq.codes)) ** 2, axis=1))
+    # measured 0.283 -> 0.259 on this corpus; corridor with slack
+    assert mse(opq) < 0.97 * mse(plain), (mse(opq), mse(plain))
+
+
+def test_opq_refine_uses_unrotated_space():
+    """Full refine must return TRUE inner products (original space) and
+    the exact ranking — guards the q-rotated-into-rescore bug class."""
+    x = _aniso_corpus(n=300)
+    q = x[:7] + 0.01
+    opq = PQIndex.build(x, m=8, opq_iters=4)
+    s, i = opq.search(q, k=5, refine=300, gallery=x)
+    es = q @ x.T
+    want = np.argsort(-es, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(i, want)
+    np.testing.assert_allclose(
+        s, np.take_along_axis(es, want, axis=1), rtol=1e-4, atol=1e-5)
+
+
+def test_opq_save_load_roundtrip(tmp_path):
+    x = _aniso_corpus(n=300)
+    opq = PQIndex.build(x, m=8, opq_iters=3)
+    p = str(tmp_path / "o.pq.npz")
+    opq.save(p)
+    back = PQIndex.load(p)
+    np.testing.assert_array_equal(back.rotation, opq.rotation)
+    q = x[:4]
+    np.testing.assert_array_equal(opq.search(q, k=5)[1],
+                                  back.search(q, k=5)[1])
+
+
+def test_opq_sharded_matches_single_device():
+    from irtpu.parallel.sharded_pq import ShardedPQ
+
+    x = _aniso_corpus(n=301)  # not divisible by 8
+    q = x[:6] + 0.01
+    opq = PQIndex.build(x, m=8, opq_iters=3)
+    s1, i1 = opq.search(q, k=9)
+    s8, i8 = ShardedPQ(opq).search(q, k=9)
+    np.testing.assert_array_equal(i1, i8)
+    np.testing.assert_array_equal(s1, s8)

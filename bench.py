@@ -149,6 +149,33 @@ def main():
     dense_qps = statistics.median(dense_reps)
     hbm_gbs = dense_qps / nq * Ng * D * 4 / 1e9  # gallery bytes per second
 
+    # PQ ADC throughput over the same gallery SHAPE (synthesized codes —
+    # gather+sum cost is content-independent, and this avoids pulling the
+    # 800MB device gallery through the tunnel for a k-means build). M=D/32
+    # is the default 128x-compression operating point.
+    from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+        _adc_search,
+    )
+
+    M = max(4, D // 32)
+    rng = np.random.RandomState(3)
+    books = jnp.asarray(rng.randn(M, 256, D // M).astype(np.float32))
+    codes = jnp.asarray(
+        rng.randint(0, 256, size=(Ng, M), dtype=np.uint8))
+
+    @jax.jit
+    def multi_adc(bk, cd, qs):
+        return jax.lax.map(
+            lambda q: _adc_search(bk, cd, q, k=100, chunk=min(65536, Ng)), qs)
+
+    np.asarray(multi_adc(books, codes, qstack)[0])
+    adc_reps = []
+    for _ in range(knn_reps):
+        t0 = time.perf_counter()
+        np.asarray(multi_adc(books, codes, qstack)[0])
+        adc_reps.append(n_stack * nq / (time.perf_counter() - t0))
+    adc_qps = statistics.median(adc_reps)
+
     target_per_chip = 5000.0 / 8.0  # BASELINE.json:5 north star, per chip
     print(
         json.dumps(
@@ -164,6 +191,7 @@ def main():
                     "knn_qps_amortized": round(qps_amort, 1),
                     "dense_floor_qps": round(dense_qps, 1),
                     "hbm_probe_gbs": round(hbm_gbs, 1),
+                    "pq_adc_qps": round(adc_qps, 1),
                     "backend": jax.default_backend(),
                     "batch": batch,
                     "image_size": size,

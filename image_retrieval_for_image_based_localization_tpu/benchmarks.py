@@ -407,3 +407,96 @@ def run_full_system_bench(
     logger.log(event="fullsys", **{k: v for k, v in results.items()
                                    if not isinstance(v, dict)})
     return results
+
+
+def run_ann_bench(
+    n: int = 20_000,
+    d: int = 256,
+    nq: int = 256,
+    k: int = 10,
+    n_clusters: Optional[int] = None,
+    m: Optional[int] = None,
+    reps: int = 5,
+    seed: int = 0,
+) -> Dict[str, Dict[str, float]]:
+    """Recall-vs-QPS sweep over the whole search family on one corpus.
+
+    The production question every deployment asks: how much ranking quality
+    does each speed/compression tier cost HERE? Rows: exact streaming top-k
+    (the recall=1 anchor), IVF at nprobe {1, C/8, C/4, C/2, C}, flat PQ /
+    OPQ (pure ADC and refined), IVF-PQ (probe + refine). Corpus: clustered
+    synthetic (queries are noisy members, so ground truth is non-trivial);
+    recall@k is measured against the exact top-k row set.
+
+    Returns ``{method: {recall_at_k, qps, **knobs}}`` — also logged JSONL.
+    """
+    import jax.numpy as jnp
+
+    from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+        IVFIndex,
+    )
+    from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+        streaming_topk,
+    )
+    from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+        IVFPQIndex,
+        PQIndex,
+    )
+
+    rng = np.random.RandomState(seed)
+    n_clusters = n_clusters or max(8, int(np.sqrt(n)))
+    m = m or max(4, d // 32)
+    # clustered corpus: gaussian cells around random unit centers
+    n_cells = max(32, n // 256)
+    centers = l2n(rng.randn(n_cells, d).astype(np.float32))
+    assign = rng.randint(0, n_cells, size=n)
+    g = np.asarray(
+        l2n(centers[assign] + 0.35 * rng.randn(n, d).astype(np.float32)))
+    q = np.asarray(l2n(
+        g[rng.choice(n, nq, replace=False)]
+        + 0.15 * rng.randn(nq, d).astype(np.float32)))
+
+    gj, qj = jnp.asarray(g), jnp.asarray(q)
+    exact_i, lat = _timed_queries(
+        lambda: streaming_topk(gj, qj, k=k), reps=reps)
+    exact_sets = [set(row) for row in exact_i]
+
+    def measure(fn, **knobs):
+        idx, lat = _timed_queries(fn, reps=reps)
+        rec = float(np.mean(
+            [len(exact_sets[r] & set(idx[r])) / k for r in range(nq)]))
+        return {"recall_at_k": round(rec, 4),
+                "qps": round(nq / float(np.median(lat)), 1), **knobs}
+
+    out: Dict[str, Dict[str, float]] = {
+        "exact": measure(lambda: streaming_topk(gj, qj, k=k)),
+    }
+
+    ivf = IVFIndex.build(g, n_clusters=n_clusters)
+    C = ivf.centroids.shape[0]
+    for nprobe in sorted({1, max(1, C // 8), max(1, C // 4),
+                          max(1, C // 2), C}):
+        out[f"ivf_nprobe{nprobe}"] = measure(
+            lambda p=nprobe: ivf.search(q, k=k, nprobe=p),
+            nprobe=nprobe, clusters=C)
+
+    refine = max(4 * k, 100)
+    for label, opq_iters in (("pq", 0), ("opq", 8)):
+        pq = PQIndex.build(g, m=m, opq_iters=opq_iters)
+        out[f"{label}_adc"] = measure(
+            lambda pq=pq: pq.search(q, k=k), m=m,
+            compression=round(pq.compression, 1))
+        out[f"{label}_refine{refine}"] = measure(
+            lambda pq=pq: pq.search(q, k=k, refine=refine, gallery=g),
+            m=m, refine=refine)
+
+    ivfpq = IVFPQIndex.from_ivf(ivf, m=m)
+    p_mid = max(1, C // 4)
+    out[f"ivfpq_nprobe{p_mid}_refine{refine}"] = measure(
+        lambda: ivfpq.search(q, k=k, nprobe=p_mid, refine=refine, gallery=g),
+        nprobe=p_mid, m=m, refine=refine)
+
+    logger = MetricsLogger(echo=False)
+    for name, row in out.items():
+        logger.log(event="ann_bench", method=name, n=n, d=d, **row)
+    return out

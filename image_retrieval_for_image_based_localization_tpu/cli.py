@@ -714,10 +714,37 @@ def cmd_download(argv):
         print(f"{name}: present under {args.data_root}")
 
 
+def cmd_bench_ann(argv):
+    """Recall-vs-QPS sweep across the search family (exact / IVF / PQ /
+    OPQ / IVF-PQ) on a clustered synthetic corpus — the deployment-tuning
+    table for picking an operating point."""
+    p = argparse.ArgumentParser(prog="bench-ann")
+    p.add_argument("-n", type=int, default=20_000, help="gallery rows")
+    p.add_argument("-d", type=int, default=256, help="descriptor dim")
+    p.add_argument("--nq", type=int, default=256)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--clusters", type=int, default=None)
+    p.add_argument("-m", type=int, default=None, help="PQ code bytes/row")
+    p.add_argument("--reps", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.benchmarks import (
+        run_ann_bench,
+    )
+
+    out = run_ann_bench(n=args.n, d=args.d, nq=args.nq, k=args.k,
+                        n_clusters=args.clusters, m=args.m, reps=args.reps)
+    w = max(len(s) for s in out)
+    print(f"{'method':{w}s}  recall@{args.k:<3d} qps")
+    for name, row in out.items():
+        print(f"{name:{w}s}  {row['recall_at_k']:8.4f}  {row['qps']:10.1f}")
+
+
 COMMANDS = {
     "download": cmd_download,
     "extract": cmd_extract,
     "fullsystem": cmd_fullsystem,
+    "bench-ann": cmd_bench_ann,
     "evaluate": cmd_evaluate,
     "train": cmd_train,
     "synth": cmd_synth,

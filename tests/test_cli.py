@@ -221,3 +221,21 @@ def test_cli_pq_build_and_query(tmp_path):
         main(["build-index", "--descriptors", descs, "--out", index,
               "--whitening", "none", "--ivf", "4", "--pq", "8",
               "--opq", "3"])
+
+
+def test_cli_bench_ann_small(capsys):
+    """ANN sweep runs tiny and reports coherent rows: exact recall 1.0,
+    full-probe IVF == exact, refined variants beat pure ADC."""
+    rc = main(["bench-ann", "-n", "1500", "-d", "32", "--nq", "24",
+               "--clusters", "8", "-m", "4", "--reps", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "exact" in out and "ivf_nprobe8" in out and "opq_adc" in out
+
+    from irtpu.benchmarks import run_ann_bench
+
+    res = run_ann_bench(n=1500, d=32, nq=24, n_clusters=8, m=4, reps=2)
+    assert res["exact"]["recall_at_k"] == 1.0
+    assert res["ivf_nprobe8"]["recall_at_k"] == 1.0  # full probe
+    assert (res["pq_refine100"]["recall_at_k"]
+            >= res["pq_adc"]["recall_at_k"])

@@ -73,6 +73,59 @@ def main() -> None:
     assert (np.asarray(r) == np.arange(10)[None, :]).all(), r
     print(f"SHARDED_QUERY_OK pid={pid} idx_sum={int(np.asarray(s_ix).sum())}")
 
+    # data-parallel TRAIN step across the process boundary (the reference's
+    # would-be DDP/NCCL all-reduce, SURVEY.md §2.2): batch sharded over
+    # 'data' spanning both processes, gradients reduced by XLA; loss and
+    # updated params must match a single-device step on the same batch.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
+        RetrievalNet,
+    )
+    from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+        _put_global,
+    )
+    from image_retrieval_for_image_based_localization_tpu.training.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    cfg = TrainConfig(n_neg=1, batch_tuples=2)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(48, 48, 3), cfg=cfg)
+    rngb = np.random.RandomState(1)  # same batch in both processes
+    pixels = rngb.rand(2, 3, 48, 48, 3).astype(np.float32)
+    labels = np.tile(np.array([[0, 1, -1]], np.int32), (2, 1))
+
+    # single-device reference step (local devices only)
+    ref_state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(48, 48, 3), cfg=cfg)
+    ref_step = make_train_step(model, tx, cfg)
+    ref_state, ref_loss = ref_step(ref_state, jnp.asarray(pixels),
+                                   jnp.asarray(labels))
+    ref_loss = float(ref_loss)
+
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    gstate = jax.tree.map(lambda x: _put_global(np.asarray(x), rep), state)
+    dist_step = make_train_step(model, tx, cfg, mesh=mesh)
+    new_state, loss = dist_step(
+        gstate, _put_global(pixels, data), _put_global(labels, data))
+    loss = float(loss)
+    assert abs(loss - ref_loss) < 1e-5, (loss, ref_loss)
+    # updated params identical across the process boundary
+    flat_new = jax.tree_util.tree_leaves(new_state.params)
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    dmax = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(flat_new, flat_ref)
+    )
+    assert dmax < 1e-5, f"param mismatch after DP step: {dmax}"
+    print(f"DIST_TRAIN_OK pid={pid} loss={loss:.6f} dparam={dmax:.1e}")
+
 
 if __name__ == "__main__":
     main()

@@ -636,6 +636,12 @@ def cmd_serve(argv):
                         "still forces exact)")
     p.add_argument("--refine", type=int, default=0, metavar="R",
                    help="default exact-rescore depth for --pq queries")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="micro-batching: coalesce concurrent plain queries "
+                        "arriving within this window into one device "
+                        "dispatch (0 = off)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="micro-batching cap per dispatch")
     args = p.parse_args(argv)
     if args.pq and args.ivf:
         p.error("--pq and --ivf are exclusive (an .ivfpq.npz artifact "
@@ -674,7 +680,8 @@ def cmd_serve(argv):
         pq = load_pq_artifact(args.pq)
     serve(index, extractor=ex, db_names=db_names,
           host=args.host, port=args.port, ivf=ivf, nprobe=args.nprobe,
-          pq=pq, refine=args.refine)
+          pq=pq, refine=args.refine,
+          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
 
 
 def cmd_download(argv):

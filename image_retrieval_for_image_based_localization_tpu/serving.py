@@ -23,6 +23,12 @@ single lock serializes device work (one TPU chip = one compute stream;
 HTTP threads only overlap host I/O and JSON encoding). The first request
 of each (shape, k) pays the jit compile; operators should warm the pod
 with a canary query.
+
+Micro-batching (``serve(batch_window_ms=...)`` / ``--batch-window-ms``):
+concurrent default-knob plain queries coalesce into ONE device dispatch
+(``MicroBatcher``) — at high concurrency the per-dispatch latency floor,
+not device compute, caps QPS, and batching amortizes it across the burst.
+Results are exact and per-request k is honored by slicing.
 """
 
 from __future__ import annotations
@@ -35,6 +41,91 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class MicroBatcher:
+    """Coalesce concurrent plain top-k queries into one device dispatch.
+
+    A single query through a TPU dispatch pays a flat latency floor (~32 ms
+    through this rig's tunnel; PERF.md) — at concurrency that floor, not
+    device compute, caps QPS. Requests enqueue their descriptor rows; the
+    collector thread drains whatever arrived (bounded by ``max_batch``,
+    waiting at most ``max_wait_ms`` after the first arrival to let a burst
+    accumulate), concatenates into ONE ``search_fn`` call, and scatters the
+    row-slices back to the waiting requests. Per-request k varies: the
+    batch runs at ``max(k)`` and each reply is sliced to its own k — exact
+    results, identical to unbatched (pinned by tests).
+
+    Only plain queries batch; re-ranked/exact-knob requests keep their own
+    dispatch (they run different programs per request).
+    """
+
+    def __init__(self, search_fn, max_batch: int = 64,
+                 max_wait_ms: float = 2.0):
+        self._search_fn = search_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._lock = threading.Condition()
+        self._pending = []  # [(q [n,D], k, event, result_slot)]
+        self._stop = False
+        self.batches = 0      # observability: dispatches issued
+        self.batched_reqs = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, q: np.ndarray, k: int):
+        ev = threading.Event()
+        slot = {}
+        with self._lock:
+            self._pending.append((q, k, ev, slot))
+            self._lock.notify()
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["scores"], slot["idx"]
+
+    def close(self):
+        with self._lock:
+            self._stop = True
+            self._lock.notify()
+
+    def _run(self):
+        while True:
+            with self._lock:
+                while not self._pending and not self._stop:
+                    self._lock.wait()
+                if self._stop:
+                    # fail any stragglers rather than hang their threads
+                    for _, _, ev, slot in self._pending:
+                        slot["error"] = RuntimeError("batcher closed")
+                        ev.set()
+                    return
+                deadline = time.monotonic() + self.max_wait
+                while (len(self._pending) < self.max_batch
+                       and not self._stop):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._lock.wait(timeout=left)
+                batch = self._pending[: self.max_batch]
+                del self._pending[: self.max_batch]
+            try:
+                qs = np.concatenate([b[0] for b in batch], axis=0)
+                kmax = max(b[1] for b in batch)
+                scores, idx = self._search_fn(qs, kmax)
+                self.batches += 1
+                self.batched_reqs += len(batch)
+                row = 0
+                for q, k, ev, slot in batch:
+                    n = q.shape[0]
+                    slot["scores"] = scores[row : row + n, :k]
+                    slot["idx"] = idx[row : row + n, :k]
+                    row += n
+                    ev.set()
+            except Exception as e:  # noqa: BLE001 - propagate per-request
+                for _, _, ev, slot in batch:
+                    slot["error"] = e
+                    ev.set()
 
 
 class RetrievalService:
@@ -53,7 +144,8 @@ class RetrievalService:
     """
 
     def __init__(self, index, extractor=None, db_names=None,
-                 ivf=None, nprobe: int = 8, pq=None, refine: int = 0):
+                 ivf=None, nprobe: int = 8, pq=None, refine: int = 0,
+                 batch_window_ms: float = 0.0, max_batch: int = 64):
         if ivf is not None and pq is not None:
             raise ValueError("ivf and pq are exclusive (an IVFPQIndex "
                              "already embeds its coarse quantizer)")
@@ -65,6 +157,31 @@ class RetrievalService:
         self.pq = pq
         self.refine = refine
         self._lock = threading.Lock()  # serializes TPU dispatch
+        # micro-batching (batch_window_ms > 0): default-knob plain queries
+        # coalesce into one dispatch; knob-overriding requests keep their own
+        self.batcher = None
+        if batch_window_ms > 0:
+            self.batcher = MicroBatcher(
+                self._plain_search, max_batch=max_batch,
+                max_wait_ms=batch_window_ms)
+
+    def _plain_search(self, q: np.ndarray, k: int):
+        """The default-knob search program (what the batcher dispatches)."""
+        with self._lock:
+            if self.pq is not None:
+                from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+                    IVFPQIndex,
+                )
+
+                kw = dict(k=k, refine=self.refine,
+                          gallery=self.index.gallery if self.refine else None)
+                if isinstance(self.pq, IVFPQIndex):
+                    kw["nprobe"] = self.nprobe
+                return self.pq.search(self.index.transform_queries(q), **kw)
+            if self.ivf is not None:
+                return self.ivf.search(self.index.transform_queries(q), k=k,
+                                       nprobe=self.nprobe)
+            return self.index.query(q, k=k)
 
     def query(self, q: np.ndarray, k: int = 10, qe_nqe: int = 0,
               qe_alpha: float = 3.0, diffusion: bool = False,
@@ -72,6 +189,11 @@ class RetrievalService:
               refine: Optional[int] = None):
         q = np.atleast_2d(np.asarray(q, np.float32))
         approx_ok = not exact and not diffusion and not qe_nqe
+        if (self.batcher is not None and approx_ok
+                and nprobe is None and refine is None):
+            # default-knob plain query: coalesce into the shared dispatch
+            scores, idx = self.batcher.submit(q, k)
+            return scores, idx, self._names(idx)
         use_ivf = self.ivf is not None and approx_ok
         use_pq = self.pq is not None and approx_ok
         with self._lock:
@@ -99,12 +221,14 @@ class RetrievalService:
             else:
                 scores, idx = self.index.query(
                     q, k=k, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
-        names = None
+        return scores, idx, self._names(idx)
+
+    def _names(self, idx):
         if self.db_names is not None:
-            names = [[self.db_names[int(i)] for i in row] for row in idx]
-        elif self.index.ids is not None:
-            names = [[str(self.index.ids[int(i)]) for i in row] for row in idx]
-        return scores, idx, names
+            return [[self.db_names[int(i)] for i in row] for row in idx]
+        if self.index.ids is not None:
+            return [[str(self.index.ids[int(i)]) for i in row] for row in idx]
+        return None
 
     def extract(self, image_bytes: bytes) -> np.ndarray:
         if self.extractor is None:
@@ -156,6 +280,12 @@ def _make_handler(service: RetrievalService):
                         "m": int(service.pq.codebooks.shape[0]),
                         "refine": service.refine,
                         "ivf": hasattr(service.pq, "centroids"),
+                    },
+                    "batching": None if service.batcher is None else {
+                        "max_batch": service.batcher.max_batch,
+                        "window_ms": service.batcher.max_wait * 1e3,
+                        "batches": service.batcher.batches,
+                        "batched_requests": service.batcher.batched_reqs,
                     },
                 })
             else:
@@ -241,12 +371,22 @@ def serve(
     nprobe: int = 8,
     pq=None,
     refine: int = 0,
+    batch_window_ms: float = 0.0,
+    max_batch: int = 64,
 ) -> ThreadingHTTPServer:
     """Start the retrieval service; returns the server (non-blocking mode
     runs it on a daemon thread — used by tests and embedders)."""
     service = RetrievalService(index, extractor=extractor, db_names=db_names,
-                               ivf=ivf, nprobe=nprobe, pq=pq, refine=refine)
-    srv = ThreadingHTTPServer((host, port), _make_handler(service))
+                               ivf=ivf, nprobe=nprobe, pq=pq, refine=refine,
+                               batch_window_ms=batch_window_ms,
+                               max_batch=max_batch)
+    class _Server(ThreadingHTTPServer):
+        # stdlib default listen backlog is 5 — a concurrent burst (the
+        # micro-batching case) gets connection resets under load
+        request_queue_size = 128
+        daemon_threads = True
+
+    srv = _Server((host, port), _make_handler(service))
     if block:
         print(f"serving gallery[{index.gallery.shape[0]}] on "
               f"http://{host}:{srv.server_address[1]}")

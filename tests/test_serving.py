@@ -195,3 +195,82 @@ def test_serving_pq_ivf_exclusive():
     pq = PQIndex.build(index.gallery, m=4)
     with pytest.raises(ValueError, match="exclusive"):
         RetrievalService(index, ivf=ivf, pq=pq)
+
+
+def test_micro_batching_exactness_and_coalescing():
+    """Concurrent plain queries through the batcher return EXACTLY the
+    unbatched results (per-request k slicing included), and genuinely
+    coalesce (#dispatches < #requests under a burst)."""
+    import concurrent.futures
+
+    from irtpu.serving import RetrievalService
+
+    rng = np.random.RandomState(8)
+    db = rng.randn(200, 32).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = Index.build(db, IndexConfig(whitening=None))
+    svc = RetrievalService(index, batch_window_ms=20.0, max_batch=64)
+    plain = RetrievalService(index)
+
+    reqs = [(db[[i, i + 1]] + 0.01, 3 + (i % 4)) for i in range(0, 32, 2)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as exe:
+        futs = [exe.submit(svc.query, q, k) for q, k in reqs]
+        got = [f.result() for f in futs]
+    for (q, k), (s, i, _) in zip(reqs, got):
+        se, ie, _ = plain.query(q, k=k)
+        np.testing.assert_array_equal(i, ie)
+        np.testing.assert_allclose(s, se, atol=1e-5)
+        assert i.shape == (2, k)
+    assert svc.batcher.batched_reqs == len(reqs)
+    assert svc.batcher.batches < len(reqs), svc.batcher.batches
+    svc.batcher.close()
+
+
+def test_micro_batching_skips_knob_overrides():
+    """qe/exact/nprobe/refine requests bypass the batcher (their programs
+    differ per request); batcher counters must not move."""
+    from irtpu.serving import RetrievalService
+
+    rng = np.random.RandomState(9)
+    db = rng.randn(64, 16).astype(np.float32)
+    index = Index.build(db, IndexConfig(whitening=None))
+    svc = RetrievalService(index, batch_window_ms=5.0)
+    q = db[[3]]
+    s, i, _ = svc.query(q, k=5, qe_nqe=2)
+    s2, i2, _ = svc.query(q, k=5, exact=True)
+    assert svc.batcher.batches == 0
+    s3, i3, _ = svc.query(q, k=5)  # plain -> batched path
+    assert svc.batcher.batches == 1
+    np.testing.assert_array_equal(i2, i3)
+    svc.batcher.close()
+
+
+def test_micro_batching_http_end_to_end():
+    """Burst over real HTTP against a --batch-window server: healthz shows
+    coalescing, replies match the exact path."""
+    import concurrent.futures
+
+    rng = np.random.RandomState(10)
+    db = rng.randn(100, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = Index.build(db, IndexConfig(whitening=None))
+    srv = serve(index, block=False, port=0, batch_window_ms=25.0)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+
+        def one(i):
+            body = json.dumps(
+                {"descriptors": (db[[i]] + 0.01).tolist(), "k": 4}).encode()
+            return i, _post(f"{url}/query", body)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=12) as exe:
+            res = list(exe.map(one, range(12)))
+        for i, r in res:
+            assert r["ids"][0][0] == i, (i, r["ids"])
+        with urllib.request.urlopen(f"{url}/healthz") as rh:
+            h = json.loads(rh.read())
+        assert h["batching"]["batched_requests"] == 12
+        assert h["batching"]["batches"] <= 12
+    finally:
+        srv.shutdown()

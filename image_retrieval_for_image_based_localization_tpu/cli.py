@@ -357,9 +357,10 @@ def cmd_build_index(argv):
                         "(<out>.ivfpq.npz), alone a flat ADC index "
                         "(<out>.pq.npz)")
     p.add_argument("--opq", type=int, default=0, metavar="ITERS",
-                   help="with flat --pq: learn an OPQ rotation with this "
-                        "many alternation iterations before encoding "
-                        "(better codebook fit, identical search cost)")
+                   help="with --pq: learn an OPQ rotation with this many "
+                        "alternation iterations before encoding (better "
+                        "codebook fit, identical search cost; with --ivf "
+                        "the rotation is learned over residuals)")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
@@ -405,11 +406,8 @@ def cmd_build_index(argv):
             if args.ivf_dtype != "f32":
                 p.error("--pq with --ivf needs --ivf-dtype f32 "
                         "(residuals of quantized rows double-compress)")
-            if args.opq:
-                p.error("--opq applies to flat --pq only (IVF-PQ encodes "
-                        "residuals; a global rotation would have to "
-                        "commute with the coarse quantizer)")
-            pq = IVFPQIndex.from_ivf(ivf, m=args.pq or None)
+            pq = IVFPQIndex.from_ivf(ivf, m=args.pq or None,
+                                     opq_iters=args.opq)
             pq_path = args.out.removesuffix(".npz") + ".ivfpq.npz"
         else:
             pq = PQIndex.build(index.gallery, m=args.pq or None,

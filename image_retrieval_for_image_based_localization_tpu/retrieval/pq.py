@@ -410,19 +410,23 @@ def load_pq_artifact(path: str):
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivfpq_search_chunk(
-    cent, codes, lengths, row_ids, codebooks, q, k: int, nprobe: int
+    cent, codes, lengths, row_ids, codebooks, q, q_lut, k: int, nprobe: int
 ):
     """IVF probe scored by residual ADC (ivf._ivf_search_chunk shape).
 
     codes: [C, L, M] uint8 residual codes. score = coarse + ADC(residual):
-    the probe's coarse scores double as the partition bias.
+    the probe's coarse scores double as the partition bias. ``q_lut`` is
+    the query in the CODEBOOK space (== q, or q @ rotation for OPQ —
+    orthogonality keeps <q, r> == <qR, rR>, so the decomposition
+    <q, x> = <q, c> + <q_lut, r_rot> stays exact); coarse scoring always
+    uses the original-space ``q`` and centroids.
     """
     cs = jax.lax.dot_general(
         q, cent, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     probe_s, probe = jax.lax.top_k(cs, nprobe)         # [nq, P]
     sub = jnp.take(codes, probe, axis=0)               # [nq, P, L, M] uint8
-    lut = _build_luts(codebooks, q)                    # [nq, M, 256]
+    lut = _build_luts(codebooks, q_lut)                # [nq, M, 256]
     # gather residual scores: LUT[q, m, sub[q,p,l,m]] summed over m
     nq, P, L, M = sub.shape
     idx = sub.transpose(0, 3, 1, 2).reshape(nq, M, P * L).astype(jnp.int32)
@@ -449,15 +453,23 @@ def _ivfpq_search_chunk(
 
 
 class IVFPQIndex:
-    """IVF coarse quantizer + PQ residual codes per partition."""
+    """IVF coarse quantizer + PQ residual codes per partition.
 
-    def __init__(self, centroids, codes, lengths, row_ids, codebooks, n):
+    ``rotation`` (optional, OPQ over residuals): the residuals were rotated
+    before encoding; queries are rotated for the LUT build only — coarse
+    scoring stays in the original space (a global orthogonal rotation
+    commutes with inner-product argmax, so probing is unaffected)."""
+
+    def __init__(self, centroids, codes, lengths, row_ids, codebooks, n,
+                 rotation: Optional[np.ndarray] = None):
         self.centroids = np.asarray(centroids, np.float32)
         self.codes = np.asarray(codes, np.uint8)       # [C, L, M]
         self.lengths = np.asarray(lengths, np.int32)
         self.row_ids = np.asarray(row_ids, np.int32)
         self.codebooks = np.asarray(codebooks, np.float32)
         self.n = int(n)
+        self.rotation = (None if rotation is None
+                         else np.asarray(rotation, np.float32))
         self._dev = None
 
     @classmethod
@@ -468,6 +480,7 @@ class IVFPQIndex:
         kmeans_iters: int = 25,
         train_sample: int = 262_144,
         seed: int = 0,
+        opq_iters: int = 0,
     ) -> "IVFPQIndex":
         """Encode an f32 ``IVFIndex``'s partitions as PQ residual codes.
 
@@ -493,6 +506,12 @@ class IVFPQIndex:
         )                                                # [C, L]
         resid = parts - ivf.centroids[:, None, :]
         train = resid[valid]                             # [n, D] real rows
+        rotation = None
+        if opq_iters:
+            rotation = _train_opq_rotation(train, m, opq_iters,
+                                           train_sample, seed)
+            train = train @ rotation
+            resid = resid @ rotation
         books = _train_codebooks(train, m, kmeans_iters, train_sample, seed)
         bj = jnp.asarray(books)
         flat = resid.reshape(C * L, D)
@@ -503,7 +522,7 @@ class IVFPQIndex:
                 _encode(bj, jnp.asarray(flat[i : i + step]))
             )
         return cls(ivf.centroids, codes.reshape(C, L, m), ivf.lengths,
-                   ivf.row_ids, books, ivf.n)
+                   ivf.row_ids, books, ivf.n, rotation=rotation)
 
     def _device(self):
         if self._dev is None:
@@ -529,11 +548,13 @@ class IVFPQIndex:
         P = min(nprobe, C)
         k_stage = min(max(refine, k) if refine else k, P * L, self.n)
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        q_lut = q if self.rotation is None else q @ self.rotation
         outs, outi = [], []
         for i in range(0, q.shape[0], chunk):
             s, r = _ivfpq_search_chunk(
                 cent, codes, lengths, row_ids, books,
-                jnp.asarray(q[i : i + chunk]), k=k_stage, nprobe=P,
+                jnp.asarray(q[i : i + chunk]),
+                jnp.asarray(q_lut[i : i + chunk]), k=k_stage, nprobe=P,
             )
             outs.append(s)
             outi.append(r)
@@ -554,12 +575,16 @@ class IVFPQIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if self.rotation is not None:
+            extra["rotation"] = self.rotation
         np.savez_compressed(
             path, centroids=self.centroids, codes=self.codes,
             lengths=self.lengths, row_ids=self.row_ids,
             codebooks=self.codebooks,
             meta=np.frombuffer(
                 json.dumps({"n": self.n, "version": 1}).encode(), np.uint8),
+            **extra,
         )
 
     @classmethod
@@ -568,5 +593,6 @@ class IVFPQIndex:
             path += ".npz"
         z = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(z["meta"]).decode())
+        rot = z["rotation"] if "rotation" in z.files else None
         return cls(z["centroids"], z["codes"], z["lengths"], z["row_ids"],
-                   z["codebooks"], meta["n"])
+                   z["codebooks"], meta["n"], rotation=rot)

@@ -216,11 +216,17 @@ def test_cli_pq_build_and_query(tmp_path):
                  "--out", got4]) == 0
     z4 = np.load(got4)
     np.testing.assert_array_equal(ze["indices"], z4["indices"])
-    # --opq with --ivf is a usage error (residual codes)
-    with pytest.raises(SystemExit):
-        main(["build-index", "--descriptors", descs, "--out", index,
-              "--whitening", "none", "--ivf", "4", "--pq", "8",
-              "--opq", "3"])
+    # --opq with --ivf: rotation learned over residuals; full probe +
+    # full refine still == exact
+    assert main(["build-index", "--descriptors", descs, "--out", index,
+                 "--whitening", "none", "--ivf", "4", "--pq", "8",
+                 "--opq", "3"]) == 0
+    got5 = str(tmp_path / "opq_ivfpq.npz")
+    assert main(["query", "--index", index, "--queries", qpath, "-k", "3",
+                 "--pq", str(tmp_path / "i.ivfpq.npz"), "--nprobe", "4",
+                 "--refine", "96", "--out", got5]) == 0
+    z5 = np.load(got5)
+    np.testing.assert_array_equal(ze["indices"], z5["indices"])
 
 
 def test_cli_bench_ann_small(capsys):

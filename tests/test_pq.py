@@ -275,3 +275,54 @@ def test_opq_sharded_matches_single_device():
     s8, i8 = ShardedPQ(opq).search(q, k=9)
     np.testing.assert_array_equal(i1, i8)
     np.testing.assert_array_equal(s1, s8)
+
+
+def test_opq_ivfpq_residual_rotation():
+    """OPQ over IVF residuals: coarse probing unchanged (original space),
+    LUT scoring in the rotated space; ADC score decomposes exactly as
+    coarse + <qR, decode(codes)>, and full probe + full refine == exact."""
+    from irtpu.retrieval.ivf import IVFIndex
+    from irtpu.retrieval.pq import IVFPQIndex, _decode
+
+    x = _aniso_corpus(n=400, d=32, seed=4)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:6] + 0.01
+    ivf = IVFIndex.build(x, n_clusters=5)
+    opq = IVFPQIndex.from_ivf(ivf, m=8, opq_iters=4)
+    assert opq.rotation is not None
+
+    # score decomposition on one query against its best cluster's rows
+    cs = q @ ivf.centroids.T
+    c = int(np.argmax(cs[0]))
+    L = opq.codes.shape[1]
+    valid = int(ivf.lengths[c])
+    dec = _decode(opq.codebooks, opq.codes[c].reshape(L, -1))[:valid]
+    want = cs[0, c] + (q[0] @ opq.rotation) @ dec.T
+    s, r = opq.search(q[:1], k=min(5, valid), nprobe=1)
+    rows_in_c = ivf.row_ids[c, :valid]
+    order = np.argsort(-want, kind="stable")[: s.shape[1]]
+    np.testing.assert_allclose(s[0], want[order], atol=1e-4)
+    np.testing.assert_array_equal(r[0], rows_in_c[order])
+
+    # full probe + full refine == exact brute force
+    es = q @ x.T
+    want_i = np.argsort(-es, axis=1, kind="stable")[:, :5]
+    _, i2 = opq.search(q, k=5, nprobe=5, refine=400, gallery=x)
+    np.testing.assert_array_equal(i2, want_i)
+
+
+def test_opq_ivfpq_save_load(tmp_path):
+    from irtpu.retrieval.ivf import IVFIndex
+    from irtpu.retrieval.pq import IVFPQIndex, load_pq_artifact
+
+    x = _aniso_corpus(n=300, d=32, seed=5)
+    ivf = IVFIndex.build(x, n_clusters=4)
+    opq = IVFPQIndex.from_ivf(ivf, m=8, opq_iters=3)
+    p = str(tmp_path / "o.ivfpq.npz")
+    opq.save(p)
+    back = load_pq_artifact(p)
+    assert isinstance(back, IVFPQIndex)
+    np.testing.assert_array_equal(back.rotation, opq.rotation)
+    q = x[:4]
+    np.testing.assert_array_equal(opq.search(q, k=5, nprobe=4)[1],
+                                  back.search(q, k=5, nprobe=4)[1])

@@ -446,6 +446,11 @@ def cmd_query(argv):
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
 
+    if args.qe and (args.pq or args.ivf):
+        p.error("--qe re-ranks against the FULL gallery (exact path, same "
+                "rule the serving endpoint applies); drop --ivf/--pq or "
+                "drop --qe")
+
     index = Index.load(args.index)
     qd = np.load(args.queries)
     if args.pq:
@@ -493,17 +498,13 @@ def cmd_query(argv):
             ShardedIndex,
         )
         from image_retrieval_for_image_based_localization_tpu.retrieval.query_expansion import (
-            expand_queries_host,
+            expand_via_sharded,
         )
 
         sindex = ShardedIndex.from_index(index)
         if args.qe:
-            nqe = min(args.qe, sindex.n_valid)
-            s0, i0 = sindex.query(qd, k=nqe)
-            qt = np.asarray(sindex.transform_queries(qd))
-            qx = expand_queries_host(index.gallery[i0], qt, s0,
-                                     alpha=args.qe_alpha)
-            # expanded queries already live in the search space
+            qx = expand_via_sharded(sindex, index.gallery, qd, args.qe,
+                                    alpha=args.qe_alpha)
             scores, idx = sindex.query(qx, k=args.k, pre_transformed=True)
         else:
             scores, idx = sindex.query(qd, k=args.k)

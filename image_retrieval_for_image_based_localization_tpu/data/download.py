@@ -339,6 +339,11 @@ def _install(manifest: DatasetManifest, data_root: str) -> None:
     for art in manifest.artifacts:
         dest = os.path.join(data_root, art.dest)
         if os.path.exists(dest) and not art.extract:
+            # verify-or-fetch means VERIFY: a pre-existing pinned file
+            # must pass its hash, same contract fetch() enforces
+            if art.sha256 and _sha256_of(dest) != art.sha256:
+                raise DownloadError(
+                    f"{dest} exists but fails its sha256 pin")
             continue
         if art.extract:
             archive = os.path.join(

@@ -90,18 +90,12 @@ def evaluate_dataset(
             # so config-4/5 galleries evaluate within one chip's memory
             cand = candidate_matrix(dataset.gnd)
             if qe_nqe:
-                # nQE search runs sharded; the [Nq, nqe] neighbor gather is
-                # tiny, so the expansion math itself is host-side
                 from image_retrieval_for_image_based_localization_tpu.retrieval.query_expansion import (
-                    expand_queries_host,
+                    expand_via_sharded,
                 )
 
-                nqe = min(qe_nqe, sindex.n_valid)
-                s0, i0 = sindex.query(qd, k=nqe)
-                qt = np.asarray(sindex.transform_queries(qd))
-                qx = expand_queries_host(
-                    index.gallery[i0], qt, s0, alpha=qe_alpha
-                )
+                qx = expand_via_sharded(sindex, index.gallery, qd, qe_nqe,
+                                        alpha=qe_alpha)
                 ranks_all = sindex.rank_candidates(
                     qx, cand, pre_transformed=True
                 )

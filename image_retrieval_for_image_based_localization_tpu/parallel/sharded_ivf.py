@@ -101,6 +101,9 @@ def sharded_ivf_search(
         ) & active[:, :, None]
         rows = jnp.take(ids_l, sel, axis=0)           # global row ids
         scores = jnp.where(valid, scores, NEG_INF)
+        # pad slots: sentinel row ids, matching single-device IVF's fill
+        # contract (no fabricated duplicate ids in the merged result)
+        rows = jnp.where(valid, rows, jnp.iinfo(jnp.int32).max)
         nq = q.shape[0]
         s_loc, pos = jax.lax.top_k(scores.reshape(nq, -1), k_loc)
         r_loc = jnp.take_along_axis(rows.reshape(nq, -1), pos, axis=1)
@@ -161,9 +164,18 @@ class ShardedIVF:
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
         C = self.centroids.shape[0]
+        L = self.partitions.shape[1]
+        # same k clamp as single-device IVFIndex.search: at most
+        # nprobe*L probed rows can exist per query
+        k_eff = min(k, self.n, min(nprobe, C) * L)
         s, r = sharded_ivf_search(
             self.centroids, self.partitions, self.lengths, self.row_ids,
-            q, k=min(k, self.n), nprobe=min(nprobe, C),
+            q, k=k_eff, nprobe=min(nprobe, C),
             mesh=self.mesh, axis=self.axis,
         )
-        return np.asarray(s), np.asarray(r)
+        from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+            sanitize_fill_rows,
+        )
+
+        s = np.asarray(s)
+        return s, sanitize_fill_rows(s, r)

@@ -66,12 +66,17 @@ def build_graph(
     """
     g = jnp.asarray(gallery)
     n = int(g.shape[0])
-    kk = min(k + 1, n)  # +1: top-1 of each row is itself
+    kk = min(k + 1, n)  # +1 headroom: each row's list contains itself
     scores, idx = knn_search(g, g, k=kk)
-    scores, idx = scores[:, 1:], idx[:, 1:]  # drop self
     w = jnp.maximum(scores, 0.0) ** jnp.float32(gamma)
+    # drop self-edges BY IDENTITY, not by position: with duplicate gallery
+    # rows the tie contract puts the lower-index duplicate first, so the
+    # higher-index duplicate's top-1 is NOT itself — slicing [:, 1:] would
+    # keep its self-loop and discard a genuine neighbor. Zero-weight edges
+    # contribute nothing to degrees or the matvec.
+    w = jnp.where(idx == jnp.arange(n, dtype=idx.dtype)[:, None], 0.0, w)
 
-    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk - 1)
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), kk)
     cols = idx.reshape(-1).astype(jnp.int32)
     ww = w.reshape(-1)
     # symmetrize by concatenating reversed edges

@@ -28,6 +28,7 @@ from image_retrieval_for_image_based_localization_tpu.ops.whitening import (
 from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
     knn_search,
     full_ranks,
+    score_matrix,
 )
 from image_retrieval_for_image_based_localization_tpu.utils.config import IndexConfig
 
@@ -240,19 +241,30 @@ class Index:
         fall back to their plain cosine order *below* every reached row.
         """
         from image_retrieval_for_image_based_localization_tpu.retrieval.diffusion import (
+            build_graph,
             diffusion_scores,
         )
 
         q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
         gdev = self.device_gallery()
+        # the graph is query-independent and expensive (~24 s at 20k rows,
+        # PERF.md) — cache it per (k_graph, gamma) so repeated calls (the
+        # serving case, which holds the device lock meanwhile) pay it once
+        key = (int(k_graph), float(gamma))
+        if getattr(self, "_diffusion_cache", None) is None:
+            self._diffusion_cache = {}
+        graph = self._diffusion_cache.get(key)
+        if graph is None:
+            graph = build_graph(gdev, k=k_graph, gamma=gamma)
+            self._diffusion_cache[key] = graph
         f = diffusion_scores(
-            gdev, q, k_graph=k_graph, k_seed=k_seed, gamma=gamma,
-            alpha=alpha, iters=iters,
+            gdev, q, graph=graph, k_graph=k_graph, k_seed=k_seed,
+            gamma=gamma, alpha=alpha, iters=iters,
         )
-        cos = np.asarray(
-            jnp.einsum("nd,qd->nq", jnp.asarray(gdev, jnp.float32), q,
-                       preferred_element_type=jnp.float32)
-        )
+        # score_matrix dequantizes int8 storage to cosine range — a raw
+        # cast here would put unreached rows at ~127x and invert the
+        # reached-above-unreached ordering below
+        cos = np.asarray(score_matrix(gdev, q)).T  # [N, Nq]
         # any diffused row outranks any unreached one (cos <= 1 < 3);
         # ordering within each group is preserved
         final = np.where(f > 0, 3.0 + f, cos)

@@ -249,7 +249,12 @@ class IVFIndex:
             )
             outs.append(np.asarray(s))
             outi.append(np.asarray(r))
-        return np.concatenate(outs), np.concatenate(outi)
+        from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+            sanitize_fill_rows,
+        )
+
+        s = np.concatenate(outs)
+        return s, sanitize_fill_rows(s, np.concatenate(outi))
 
     # -- persistence ---------------------------------------------------------
 
@@ -316,6 +321,9 @@ def _ivf_search_chunk(cent, parts, lengths, row_ids, q, k: int, nprobe: int):
     )
     rows = jnp.take(row_ids, probe, axis=0)           # [nq, P, L]
     scores = jnp.where(valid, scores, NEG_INF)
+    # pad slots must not carry a real-looking row id (row_ids pads with 0):
+    # sentinel them so an under-filled probe can't emit duplicate row 0
+    rows = jnp.where(valid, rows, jnp.iinfo(jnp.int32).max)
     nq = q.shape[0]
     flat_s = scores.reshape(nq, -1)
     flat_r = rows.reshape(nq, -1)

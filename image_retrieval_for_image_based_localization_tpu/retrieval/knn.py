@@ -26,6 +26,17 @@ import numpy as np
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def sanitize_fill_rows(scores, rows) -> np.ndarray:
+    """Host-boundary fill contract: slots that never matched a real gallery
+    row (score == NEG_INF — real cosine/IP scores are finite) return row
+    ``-1``, never a fabricated id. Approximate searches (IVF family) can
+    under-fill when k exceeds the probed rows; without this, pad slots
+    surface either as duplicate row 0 or as int32-max device sentinels,
+    both of which downstream name-mapping would faithfully mis-serve."""
+    scores = np.asarray(scores)
+    return np.where(scores <= NEG_INF / 2, -1, np.asarray(rows))
+
+
 def score_matrix(gallery: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """Dense similarity scores ``[Nq, Ng] = queries @ gallery.T`` in f32 on MXU.
 

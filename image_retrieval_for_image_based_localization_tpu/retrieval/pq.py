@@ -565,11 +565,20 @@ class IVFPQIndex:
                 raise ValueError("refine requires the f32 gallery")
             # overflow slots (under-filled probe) carry int32-max sentinel
             # rows; _exact_rescore scores them NEG_INF so they can only
-            # surface as fill when fewer than k real candidates exist
+            # surface as fill when fewer than k real candidates exist.
+            # k is additionally clamped to the candidate width k_stage
+            # (<= nprobe*L probed rows) — same clamp the unrefined path
+            # already applies
             s, r = _exact_rescore(
-                jnp.asarray(gallery), jnp.asarray(q), r, k=min(k, self.n)
+                jnp.asarray(gallery), jnp.asarray(q), r,
+                k=min(k, self.n, k_stage),
             )
-        return np.asarray(s), np.asarray(r)
+        from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+            sanitize_fill_rows,
+        )
+
+        s = np.asarray(s)
+        return s, sanitize_fill_rows(s, r)
 
     # -- persistence ---------------------------------------------------------
 

@@ -44,8 +44,13 @@ def expand_queries(
     """
     q = jnp.asarray(queries, jnp.float32)
     scores, idx = knn_search(gallery, q, k=nqe)
-    # neighbors come back f32 regardless of gallery storage dtype
+    # neighbors come back f32 regardless of gallery storage dtype; int8
+    # storage is symmetric *127 quantization (retrieval.index), so the
+    # gathered rows must be rescaled to cosine range or the sum drowns
+    # the query's own contribution ~127x
     nbrs = jnp.take(jnp.asarray(gallery), idx, axis=0).astype(jnp.float32)
+    if jnp.asarray(gallery).dtype == jnp.int8:
+        nbrs = nbrs * (1.0 / 127.0)
     w = jnp.maximum(scores, 0.0) ** jnp.asarray(alpha, jnp.float32)
     expanded = q + jnp.einsum(
         "qn,qnd->qd", w, nbrs, preferred_element_type=jnp.float32
@@ -73,3 +78,21 @@ def expand_queries_host(
     )
     norm = np.linalg.norm(expanded, axis=1, keepdims=True)
     return expanded / np.maximum(norm, 1e-6)
+
+
+def expand_via_sharded(sindex, gallery, queries, nqe: int, alpha: float = 3.0):
+    """αQE when the initial search runs on a SHARDED gallery: the nQE
+    search is distributed, the tiny ``[Nq, nqe]`` neighbor rows are
+    gathered from the host f32 ``gallery``, and the expansion math runs
+    host-side. Returns PRE-TRANSFORMED expanded queries (they already
+    live in the index search space) — pass ``pre_transformed=True`` to
+    the follow-up sharded query/rank call.
+
+    Single implementation shared by the query CLI and the sharded
+    evaluation harness (they must never drift)."""
+    import numpy as np
+
+    nqe = min(int(nqe), sindex.n_valid)
+    s0, i0 = sindex.query(queries, k=nqe)
+    qt = np.asarray(sindex.transform_queries(queries))
+    return expand_queries_host(np.asarray(gallery)[i0], qt, s0, alpha=alpha)

@@ -224,11 +224,18 @@ class RetrievalService:
         return scores, idx, self._names(idx)
 
     def _names(self, idx):
-        if self.db_names is not None:
-            return [[self.db_names[int(i)] for i in row] for row in idx]
-        if self.index.ids is not None:
-            return [[str(self.index.ids[int(i)]) for i in row] for row in idx]
-        return None
+        # fill slots (under-filled approximate search) carry row -1
+        def name(i):
+            i = int(i)
+            if i < 0:
+                return None
+            if self.db_names is not None:
+                return self.db_names[i]
+            return str(self.index.ids[i])
+
+        if self.db_names is None and self.index.ids is None:
+            return None
+        return [[name(i) for i in row] for row in idx]
 
     def extract(self, image_bytes: bytes) -> np.ndarray:
         if self.extractor is None:

@@ -245,3 +245,19 @@ def test_cli_bench_ann_small(capsys):
     assert res["ivf_nprobe8"]["recall_at_k"] == 1.0  # full probe
     assert (res["pq_refine100"]["recall_at_k"]
             >= res["pq_adc"]["recall_at_k"])
+
+
+def test_cli_query_qe_with_approximate_is_usage_error(tmp_path):
+    """--qe silently did nothing with --ivf/--pq; it is now a loud error."""
+    rng = np.random.RandomState(50)
+    g = rng.randn(64, 32).astype(np.float32)
+    descs = str(tmp_path / "d.npy")
+    np.save(descs, g)
+    index = str(tmp_path / "i.npz")
+    assert main(["build-index", "--descriptors", descs, "--out", index,
+                 "--whitening", "none", "--ivf", "4", "--pq", "8"]) == 0
+    for extra in (["--ivf", str(tmp_path / "i.ivf.npz")],
+                  ["--pq", str(tmp_path / "i.pq.npz")]):
+        with pytest.raises(SystemExit):
+            main(["query", "--index", index, "--queries", descs,
+                  "--qe", "5", *extra])

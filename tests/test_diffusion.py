@@ -16,6 +16,10 @@ from irtpu.utils.config import IndexConfig
 from test_query_expansion import _clustered, _map_at_full
 
 
+def l2n(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
 def _dense_S(graph: DiffusionGraph) -> np.ndarray:
     S = np.zeros((graph.n, graph.n), np.float64)
     np.add.at(S, (np.asarray(graph.dst), np.asarray(graph.src)),
@@ -119,3 +123,68 @@ def test_evaluate_dataset_diffusion_path(tmp_path):
     with pytest.raises(ValueError):
         evaluate_dataset(ds, cfg, IndexConfig(whitening=None),
                          diffusion=True, use_sharded_index=True)
+
+
+def test_diffusion_int8_storage_fallback_not_inverted():
+    """Unreached-row cosine fallback must be dequantized: with int8
+    storage every reached row still outranks every unreached row
+    (round-3 review finding: raw int8 fallback scores ~127 beat 3+f)."""
+    from irtpu.retrieval.index import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(7)
+    # two far-apart components; queries sit in component A
+    a = l2n(rng.randn(40, 32).astype(np.float32) * 0.1
+            + np.eye(32)[0] * 3)
+    b = l2n(rng.randn(40, 32).astype(np.float32) * 0.1
+            - np.eye(32)[0] * 3)
+    g = np.asarray(np.concatenate([a, b]), np.float32)
+    q = np.asarray(a[:3] + 0.01, np.float32)
+    for storage in ("float32", "int8"):
+        idx = Index.build(
+            g, IndexConfig(whitening=None, storage=storage))
+        ranks = idx.diffusion_ranks(q, k_graph=8, k_seed=5)
+        # component A (rows 0..39, reachable from the seeds) must fill
+        # the top half of every ranking
+        top = ranks[:40].T
+        frac_a = np.mean(top < 40)
+        assert frac_a == 1.0, (storage, frac_a)
+
+
+def test_graph_duplicate_rows_drop_self_not_neighbor():
+    """Duplicate gallery rows: self-edges are dropped by identity, so the
+    dense S keeps a zero diagonal and the duplicate pair stays mutually
+    connected (round-3 review finding)."""
+    rng = np.random.RandomState(9)
+    base = l2n(rng.randn(30, 16).astype(np.float32))
+    g = np.concatenate([base, base[:10]])  # rows 30..39 duplicate 0..9
+    graph = build_graph(np.asarray(g, np.float32), k=6)
+    S = _dense_S(graph)
+    assert np.abs(np.diag(S)).max() == 0.0
+    # each duplicate pair is connected (the genuine neighbor edge kept)
+    for j in range(10):
+        assert S[j, 30 + j] > 0, j
+
+
+def test_diffusion_graph_cached_on_index(monkeypatch):
+    """Repeated diffusion_ranks calls build the graph once (serving path)."""
+    from irtpu.retrieval import diffusion as dmod
+    from irtpu.retrieval.index import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(11)
+    g = l2n(rng.randn(60, 16).astype(np.float32))
+    idx = Index.build(np.asarray(g), IndexConfig(whitening=None))
+    calls = {"n": 0}
+    real = dmod.build_graph
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dmod, "build_graph", counting)
+    idx.diffusion_ranks(np.asarray(g[:2]), k_graph=6)
+    idx.diffusion_ranks(np.asarray(g[2:4]), k_graph=6)
+    assert calls["n"] == 1
+    idx.diffusion_ranks(np.asarray(g[:2]), k_graph=8)  # new knob -> rebuild
+    assert calls["n"] == 2

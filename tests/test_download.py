@@ -29,6 +29,7 @@ from irtpu.data.download import (
     download_train,
     extract_archive,
     fetch,
+    _install,
 )
 
 
@@ -506,3 +507,32 @@ def test_cli_extract_network_flag(http_root, tmp_path, monkeypatch):
     assert d.shape == (1, 512)  # resnet18 dim, not resnet50's 2048
     assert np.isfinite(d).all()
     assert os.path.exists(tmp_path / "cache" / "networks" / "fake-net.pth")
+
+
+def test_install_verifies_existing_pinned_file(http_root, tmp_path):
+    """A pre-existing pinned artifact that fails its sha256 must raise —
+    verify-or-fetch means VERIFY (round-3 review finding)."""
+    import hashlib
+
+    root, base_url = http_root
+    gnd_path = os.path.join(root, "gnd_minik.pkl")
+    if not os.path.exists(gnd_path):
+        _make_corpus(root)
+    body = open(gnd_path, "rb").read()
+    good = hashlib.sha256(body).hexdigest()
+    man = DatasetManifest(
+        "minik",
+        artifacts=(
+            Artifact(f"{base_url}/gnd_minik.pkl", "minik/gnd_minik.pkl",
+                     sha256=good),
+        ),
+        required=("minik/gnd_minik.pkl",),
+    )
+    dest = tmp_path / "minik" / "gnd_minik.pkl"
+    dest.parent.mkdir(parents=True)
+    dest.write_bytes(b"tampered")
+    with pytest.raises(DownloadError, match="sha256"):
+        _install(man, str(tmp_path))
+    # the genuine file passes silently
+    dest.write_bytes(body)
+    _install(man, str(tmp_path))

@@ -326,3 +326,31 @@ def test_opq_ivfpq_save_load(tmp_path):
     q = x[:4]
     np.testing.assert_array_equal(opq.search(q, k=5, nprobe=4)[1],
                                   back.search(q, k=5, nprobe=4)[1])
+
+
+def test_ivfpq_refine_k_beyond_probe_capacity():
+    """k > nprobe*L with refine must clamp like the unrefined path, not
+    crash in the rescore top_k (round-3 review finding)."""
+    g, q = _corpus(n=512, d=32, seed=13)
+    ivf = IVFIndex.build(g, n_clusters=32)
+    ivfpq = IVFPQIndex.from_ivf(ivf, m=8)
+    L = ivfpq.codes.shape[1]
+    k = 2 * L + 20  # exceeds the nprobe=2 probe capacity
+    s, i = ivfpq.search(q, k=k, nprobe=2, refine=10, gallery=g)
+    assert s.shape == (q.shape[0], 2 * L)
+    # fill contract: never a fabricated row id
+    assert (i[s <= np.finfo(np.float32).min / 2] == -1).all()
+
+
+def test_pq_fill_contract_rows_minus_one():
+    """IVF under-fill returns row -1, not duplicate row 0 / int32-max."""
+    g, q = _corpus(n=256, d=32, seed=14)
+    ivf = IVFIndex.build(g, n_clusters=32)
+    L = ivf.partitions.shape[1]
+    s, i = ivf.search(q, k=2 * L, nprobe=2)
+    fill = s <= np.finfo(np.float32).min / 2
+    if fill.any():
+        assert (i[fill] == -1).all()
+    for row_i, row_f in zip(i, ~fill):
+        rows = row_i[row_f]
+        assert len(set(rows.tolist())) == len(rows)

@@ -184,3 +184,22 @@ def test_evaluate_dataset_qe_path(tmp_path):
                           qe_nqe=5, qe_alpha=3.0, use_sharded_index=True)
     for r in (r0, r1, r2):
         assert "results" in r and r["results"]
+
+
+def test_qe_int8_storage_matches_float32():
+    """alphaQE must dequantize int8-stored neighbor rows: the expanded
+    queries (and hence the ranking) must track the float32-storage path
+    (round-3 review finding: *127 neighbors drowned the query term)."""
+    rng = np.random.RandomState(41)
+    g = rng.randn(120, 32).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[[5, 20]] + 0.02 * rng.randn(2, 32).astype(np.float32)
+    f32 = Index.build(g, IndexConfig(whitening=None, storage="float32"))
+    i8 = Index.build(g, IndexConfig(whitening=None, storage="int8"))
+    s_f, i_f = f32.query(q, k=10, qe_nqe=5)
+    s_8, i_8 = i8.query(q, k=10, qe_nqe=5)
+    # int8 quantization perturbs scores slightly; top-1 and the bulk of
+    # the neighborhood must agree (it diverged wholesale before the fix)
+    assert (i_f[:, 0] == i_8[:, 0]).all()
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i_f, i_8)])
+    assert overlap >= 0.9, overlap

@@ -110,3 +110,21 @@ def test_sharded_k_exceeds_probed_rows():
     np.testing.assert_array_equal(real, s2 > np.finfo(np.float32).min / 2)
     np.testing.assert_array_equal(i1[real], i2[real])
     np.testing.assert_allclose(s1[real], s2[real], atol=1e-5)
+
+
+def test_sharded_k_beyond_probe_capacity_matches_single_device():
+    """k >> nprobe*L: the sharded path must clamp exactly like
+    IVFIndex.search instead of crashing in the merged top_k
+    (round-3 review finding)."""
+    rng = np.random.RandomState(17)
+    g = rng.randn(512, 32).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[:4] + 0.01
+    ivf = IVFIndex.build(g, n_clusters=32)
+    L = ivf.partitions.shape[1]
+    k = 8 * L  # far beyond nprobe=2 capacity
+    s1, i1 = ivf.search(q, k=k, nprobe=2)
+    s8, i8 = ShardedIVF(ivf).search(q, k=k, nprobe=2)
+    assert s8.shape == s1.shape == (4, 2 * L)
+    np.testing.assert_array_equal(i1, i8)
+    np.testing.assert_allclose(s1, s8, atol=1e-5)

@@ -6,6 +6,9 @@ at interactive latency. This module is that process — dependency-free
 (stdlib ``http.server``), JSON/binary protocol:
 
   GET  /healthz            -> {"ok": true, "gallery": N, "dim": D, ...}
+  GET  /statz              -> per-endpoint rolling latency percentiles
+                              (p50/p95/p99 over the last 2048 requests)
+                              + micro-batching counters
   POST /query              -> top-k for descriptor queries
         body: {"descriptors": [[...], ...], "k": 10,
                "qe_nqe": 0, "qe_alpha": 3.0, "diffusion": false,
@@ -33,6 +36,7 @@ Results are exact and per-request k is honored by slicing.
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import threading
@@ -41,6 +45,36 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class EndpointStats:
+    """Rolling per-endpoint latency window (deque append is atomic under
+    the GIL, so recording needs no lock; summaries copy-then-compute)."""
+
+    def __init__(self, window: int = 2048):
+        self._lat = collections.defaultdict(
+            lambda: collections.deque(maxlen=window))
+        self._count = collections.Counter()
+
+    def record(self, endpoint: str, seconds: float) -> None:
+        self._lat[endpoint].append(seconds)
+        self._count[endpoint] += 1
+
+    def summary(self) -> dict:
+        out = {}
+        for ep, dq in list(self._lat.items()):
+            lat = np.asarray(dq, np.float64) * 1e3
+            if lat.size == 0:
+                continue
+            out[ep] = {
+                "count": int(self._count[ep]),
+                "window": int(lat.size),
+                "p50_ms": round(float(np.percentile(lat, 50)), 2),
+                "p95_ms": round(float(np.percentile(lat, 95)), 2),
+                "p99_ms": round(float(np.percentile(lat, 99)), 2),
+                "mean_ms": round(float(lat.mean()), 2),
+            }
+        return out
 
 
 class MicroBatcher:
@@ -157,6 +191,7 @@ class RetrievalService:
         self.pq = pq
         self.refine = refine
         self._lock = threading.Lock()  # serializes TPU dispatch
+        self.stats = EndpointStats()
         # micro-batching (batch_window_ms > 0): default-knob plain queries
         # coalesce into one dispatch; knob-overriding requests keep their own
         self.batcher = None
@@ -272,7 +307,15 @@ def _make_handler(service: RetrievalService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.rstrip("/") in ("", "/healthz"):
+            if self.path.rstrip("/") == "/statz":
+                self._send(200, {
+                    "endpoints": service.stats.summary(),
+                    "batching": None if service.batcher is None else {
+                        "batches": service.batcher.batches,
+                        "batched_requests": service.batcher.batched_reqs,
+                    },
+                })
+            elif self.path.rstrip("/") in ("", "/healthz"):
                 self._send(200, {
                     "ok": True,
                     "gallery": int(service.index.gallery.shape[0]),
@@ -336,6 +379,7 @@ def _make_handler(service: RetrievalService):
                         nprobe=None if np_raw is None else int(np_raw),
                         exact=exact,
                         refine=None if rf_raw is None else int(rf_raw))
+                    service.stats.record("/query", time.time() - t0)
                     self._send(200, {
                         "ids": idx.tolist(),
                         "scores": np.asarray(scores, np.float64).tolist(),
@@ -344,6 +388,7 @@ def _make_handler(service: RetrievalService):
                     })
                 elif path in ("/extract", "/extract_query"):
                     d = service.extract(self._body())
+                    service.stats.record(path, time.time() - t0)
                     if path == "/extract":
                         self._send(200, {
                             "descriptor": d.astype(np.float64).tolist(),

@@ -274,3 +274,17 @@ def test_micro_batching_http_end_to_end():
         assert h["batching"]["batches"] <= 12
     finally:
         srv.shutdown()
+
+
+def test_statz_latency_percentiles(service_url):
+    """GET /statz reports per-endpoint rolling latency percentiles."""
+    url, db = service_url
+    body = json.dumps({"descriptors": db[[1]].tolist(), "k": 3}).encode()
+    for _ in range(5):
+        _post(f"{url}/query", body)
+    with urllib.request.urlopen(f"{url}/statz") as r:
+        st = json.loads(r.read())
+    q = st["endpoints"]["/query"]
+    assert q["count"] == 5 and q["window"] == 5
+    assert 0 <= q["p50_ms"] <= q["p95_ms"] <= q["p99_ms"]
+    assert st["batching"] is None

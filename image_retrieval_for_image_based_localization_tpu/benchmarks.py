@@ -500,3 +500,84 @@ def run_ann_bench(
     for name, row in out.items():
         logger.log(event="ann_bench", method=name, n=n, d=d, **row)
     return out
+
+
+def run_serving_bench(
+    n: int = 10_000,
+    d: int = 256,
+    concurrency: int = 16,
+    requests: int = 200,
+    k: int = 10,
+    batch_window_ms: float = 5.0,
+    seed: int = 0,
+) -> Dict[str, Dict[str, float]]:
+    """Closed-loop load test of the HTTP serving endpoint, with and
+    without micro-batching, on one in-process server per mode.
+
+    ``concurrency`` worker threads each fire single-query POST /query
+    requests until ``requests`` total complete. Reports throughput and
+    client-observed latency percentiles per mode — the production
+    question micro-batching answers (per-dispatch floor amortization)
+    quantified on whatever backend is live.
+    """
+    import concurrent.futures
+    import json as _json
+    import urllib.request
+
+    from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+        Index,
+    )
+    from image_retrieval_for_image_based_localization_tpu.serving import serve
+    from image_retrieval_for_image_based_localization_tpu.utils.config import (
+        IndexConfig,
+    )
+
+    rng = np.random.RandomState(seed)
+    g = np.asarray(l2n(rng.randn(n, d).astype(np.float32)))
+    index = Index.build(g, IndexConfig(whitening=None))
+    qpool = g[rng.choice(n, 256, replace=False)] + 0.02 * rng.randn(
+        256, d).astype(np.float32)
+
+    out: Dict[str, Dict[str, float]] = {}
+    for mode, window in (("unbatched", 0.0), ("batched", batch_window_ms)):
+        srv = serve(index, block=False, port=0, batch_window_ms=window)
+        host, port = srv.server_address
+        url = f"http://{host}:{port}/query"
+        body = lambda i: _json.dumps(
+            {"descriptors": qpool[[i % 256]].tolist(), "k": k}).encode()
+        lat = []
+
+        def one(i, record=True):
+            t0 = time.perf_counter()
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=body(i))).read()
+            if record:
+                lat.append(time.perf_counter() - t0)
+
+        # warm pass at the same concurrency: populates every (rows, k)
+        # shape-bucket compile the batcher can produce, so the timed pass
+        # measures steady state, not cold jit compiles
+        with concurrent.futures.ThreadPoolExecutor(concurrency) as exe:
+            list(exe.map(lambda i: one(i, record=False), range(requests)))
+
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(concurrency) as exe:
+            list(exe.map(one, range(requests)))
+        wall = time.perf_counter() - t0
+        srv.shutdown()
+        larr = np.asarray(lat) * 1e3
+        out[mode] = {
+            "qps": round(requests / wall, 1),
+            "lat_p50_ms": round(float(np.percentile(larr, 50)), 2),
+            "lat_p95_ms": round(float(np.percentile(larr, 95)), 2),
+            "lat_p99_ms": round(float(np.percentile(larr, 99)), 2),
+            "concurrency": concurrency,
+            "batch_window_ms": window,
+        }
+    out["speedup"] = {
+        "qps_ratio": round(out["batched"]["qps"] / out["unbatched"]["qps"], 2)
+    }
+    logger = MetricsLogger(echo=False)
+    for mode, row in out.items():
+        logger.log(event="serving_bench", mode=mode, n=n, d=d, **row)
+    return out

@@ -746,11 +746,39 @@ def cmd_bench_ann(argv):
         print(f"{name:{w}s}  {row['recall_at_k']:8.4f}  {row['qps']:10.1f}")
 
 
+def cmd_bench_serve(argv):
+    """Closed-loop load test of the serving endpoint: QPS + client latency
+    percentiles, unbatched vs micro-batched, on one in-process server."""
+    p = argparse.ArgumentParser(prog="bench-serve")
+    p.add_argument("-n", type=int, default=10_000, help="gallery rows")
+    p.add_argument("-d", type=int, default=256)
+    p.add_argument("--concurrency", type=int, default=16)
+    p.add_argument("--requests", type=int, default=200)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--batch-window-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.benchmarks import (
+        run_serving_bench,
+    )
+
+    out = run_serving_bench(
+        n=args.n, d=args.d, concurrency=args.concurrency,
+        requests=args.requests, k=args.k,
+        batch_window_ms=args.batch_window_ms)
+    for mode in ("unbatched", "batched"):
+        r = out[mode]
+        print(f"{mode:10s} qps={r['qps']:8.1f}  p50={r['lat_p50_ms']:7.2f}ms"
+              f"  p95={r['lat_p95_ms']:7.2f}ms  p99={r['lat_p99_ms']:7.2f}ms")
+    print(f"micro-batching qps ratio: {out['speedup']['qps_ratio']}x")
+
+
 COMMANDS = {
     "download": cmd_download,
     "extract": cmd_extract,
     "fullsystem": cmd_fullsystem,
     "bench-ann": cmd_bench_ann,
+    "bench-serve": cmd_bench_serve,
     "evaluate": cmd_evaluate,
     "train": cmd_train,
     "synth": cmd_synth,

@@ -146,7 +146,18 @@ class MicroBatcher:
             try:
                 qs = np.concatenate([b[0] for b in batch], axis=0)
                 kmax = max(b[1] for b in batch)
-                scores, idx = self._search_fn(qs, kmax)
+                # bucket the dispatch shape: a burst produces arbitrary
+                # (rows, k) combinations, and every novel shape is a fresh
+                # jit compile — pad rows and k to powers of two so at most
+                # O(log max_batch * log k) programs ever compile
+                B = qs.shape[0]
+                Bpad = 1 << (B - 1).bit_length()
+                if Bpad > B:
+                    qs = np.concatenate(
+                        [qs, np.zeros((Bpad - B, qs.shape[1]), qs.dtype)])
+                k_run = 1 << (kmax - 1).bit_length()
+                scores, idx = self._search_fn(qs, k_run)
+                scores, idx = scores[:B], idx[:B]
                 self.batches += 1
                 self.batched_reqs += len(batch)
                 row = 0

@@ -288,3 +288,14 @@ def test_statz_latency_percentiles(service_url):
     assert q["count"] == 5 and q["window"] == 5
     assert 0 <= q["p50_ms"] <= q["p95_ms"] <= q["p99_ms"]
     assert st["batching"] is None
+
+
+def test_serving_bench_small(capsys):
+    """bench-serve runs tiny and reports coherent rows for both modes."""
+    from irtpu.cli import main
+
+    rc = main(["bench-serve", "-n", "500", "-d", "32",
+               "--concurrency", "4", "--requests", "24"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "unbatched" in out and "batched" in out and "qps ratio" in out

@@ -680,7 +680,9 @@ def cmd_serve(argv):
     serve(index, extractor=ex, db_names=db_names,
           host=args.host, port=args.port, ivf=ivf, nprobe=args.nprobe,
           pq=pq, refine=args.refine,
-          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
+          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+          reload_paths={"index": args.index, "ivf": args.ivf,
+                        "pq": args.pq})
 
 
 def cmd_download(argv):

@@ -20,6 +20,10 @@ at interactive latency. This module is that process — dependency-free
   POST /extract            -> descriptor for an image
         body: raw JPEG/PNG bytes -> {"descriptor": [...]}
   POST /extract_query      -> image bytes straight to top-k (one hop)
+  POST /admin/reload       -> hot-swap the index/ivf/pq artifacts from
+                              the paths the server was STARTED with
+                              (operator republishes files; clients can't
+                              point the server at arbitrary paths)
 
 Device discipline: JAX dispatch is not thread-safe per-request here — a
 single lock serializes device work (one TPU chip = one compute stream;
@@ -211,6 +215,39 @@ class RetrievalService:
                 self._plain_search, max_batch=max_batch,
                 max_wait_ms=batch_window_ms)
 
+    def reload_from_paths(self, paths: dict) -> dict:
+        """Hot-swap the servable from the artifact paths the server was
+        STARTED with (the operator republishes files on disk; clients
+        cannot point the server at arbitrary paths). New artifacts load
+        outside the lock; the swap itself is atomic under it, so in-flight
+        queries finish against the old gallery and the next dispatch sees
+        the new one."""
+        from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+            Index,
+        )
+
+        new_index = Index.load(paths["index"])
+        new_ivf = new_pq = None
+        if paths.get("ivf"):
+            from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+                IVFIndex,
+            )
+
+            new_ivf = IVFIndex.load(paths["ivf"])
+        if paths.get("pq"):
+            from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+                load_pq_artifact,
+            )
+
+            new_pq = load_pq_artifact(paths["pq"])
+        with self._lock:
+            self.index = new_index
+            self.ivf = new_ivf
+            self.pq = new_pq
+        return {"gallery": int(new_index.gallery.shape[0]),
+                "dim": int(new_index.gallery.shape[1]),
+                "ivf": new_ivf is not None, "pq": new_pq is not None}
+
     def _plain_search(self, q: np.ndarray, k: int):
         """The default-knob search program (what the batcher dispatches)."""
         with self._lock:
@@ -304,7 +341,7 @@ class RetrievalService:
         return np.asarray(d)[0]
 
 
-def _make_handler(service: RetrievalService):
+def _make_handler(service: RetrievalService, reload_paths: dict = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; metrics go to the JSON replies
             pass
@@ -363,7 +400,14 @@ def _make_handler(service: RetrievalService):
                 params = dict(
                     kv.split("=", 1) for kv in qs.split("&") if "=" in kv
                 )
-                if path == "/query":
+                if path == "/admin/reload":
+                    if not reload_paths:
+                        self._send(400, {"error": "server started without "
+                                                  "reloadable paths"})
+                        return
+                    info = service.reload_from_paths(reload_paths)
+                    self._send(200, {"reloaded": True, **info})
+                elif path == "/query":
                     raw = self._body()
                     shape = self.headers.get("X-Shape")
                     if shape:  # raw float32 payload
@@ -436,9 +480,14 @@ def serve(
     refine: int = 0,
     batch_window_ms: float = 0.0,
     max_batch: int = 64,
+    reload_paths: dict = None,
 ) -> ThreadingHTTPServer:
     """Start the retrieval service; returns the server (non-blocking mode
-    runs it on a daemon thread — used by tests and embedders)."""
+    runs it on a daemon thread — used by tests and embedders).
+
+    ``reload_paths`` ({"index": path, "ivf": path|None, "pq": path|None})
+    enables ``POST /admin/reload``: hot-swap the servable from those same
+    on-disk paths after the operator republishes them."""
     service = RetrievalService(index, extractor=extractor, db_names=db_names,
                                ivf=ivf, nprobe=nprobe, pq=pq, refine=refine,
                                batch_window_ms=batch_window_ms,
@@ -449,7 +498,7 @@ def serve(
         request_queue_size = 128
         daemon_threads = True
 
-    srv = _Server((host, port), _make_handler(service))
+    srv = _Server((host, port), _make_handler(service, reload_paths))
     if block:
         print(f"serving gallery[{index.gallery.shape[0]}] on "
               f"http://{host}:{srv.server_address[1]}")

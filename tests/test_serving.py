@@ -299,3 +299,51 @@ def test_serving_bench_small(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "unbatched" in out and "batched" in out and "qps ratio" in out
+
+
+def test_admin_reload_hot_swaps_index(tmp_path):
+    """POST /admin/reload re-loads the servable from the startup paths:
+    the operator republishes the index file, the server swaps atomically."""
+    from irtpu.serving import serve as serve_fn
+
+    rng = np.random.RandomState(60)
+    g1 = rng.randn(30, 16).astype(np.float32)
+    g1 /= np.linalg.norm(g1, axis=1, keepdims=True)
+    ipath = str(tmp_path / "live.npz")
+    Index.build(g1, IndexConfig(whitening=None)).save(ipath)
+    srv = serve_fn(Index.load(ipath), block=False, port=0,
+                   reload_paths={"index": ipath})
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        body = json.dumps({"descriptors": g1[[7]].tolist(), "k": 3}).encode()
+        assert _post(f"{url}/query", body)["ids"][0][0] == 7
+
+        # republish a bigger gallery at the same path, then reload
+        g2 = rng.randn(50, 16).astype(np.float32)
+        g2 /= np.linalg.norm(g2, axis=1, keepdims=True)
+        Index.build(g2, IndexConfig(whitening=None)).save(ipath)
+        res = _post(f"{url}/admin/reload", b"")
+        assert res == {"reloaded": True, "gallery": 50, "dim": 16,
+                       "ivf": False, "pq": False}
+        body2 = json.dumps({"descriptors": g2[[41]].tolist(),
+                            "k": 3}).encode()
+        assert _post(f"{url}/query", body2)["ids"][0][0] == 41
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            assert json.loads(r.read())["gallery"] == 50
+    finally:
+        srv.shutdown()
+
+
+def test_admin_reload_without_paths_is_400():
+    rng = np.random.RandomState(61)
+    db = rng.randn(20, 16).astype(np.float32)
+    srv = serve(Index.build(db, IndexConfig(whitening=None)),
+                block=False, port=0)
+    try:
+        host, port = srv.server_address
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"http://{host}:{port}/admin/reload", b"")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

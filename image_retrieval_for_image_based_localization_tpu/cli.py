@@ -23,7 +23,7 @@ import numpy as np
 def _model_args(p: argparse.ArgumentParser):
     p.add_argument("--arch", default="resnet50")
     p.add_argument("--pooling", default="gem",
-                   choices=["gem", "mac", "spoc", "rmac", "netvlad"])
+                   choices=["gem", "gemmp", "mac", "spoc", "rmac", "netvlad"])
     p.add_argument("--whiten-dim", type=int, default=None,
                    help="learned FC whitening output dim")
     p.add_argument("--image-size", type=int, default=1024)

@@ -83,7 +83,7 @@ class RetrievalNet(nn.Module):
 
     Attributes:
       arch: trunk architecture name (see OUTPUT_DIM).
-      pooling: 'gem' | 'mac' | 'spoc' | 'rmac' | 'netvlad'.
+      pooling: 'gem' | 'gemmp' (per-channel p) | 'mac' | 'spoc' | 'rmac' | 'netvlad'.
       whiten_dim: if set, adds a learned FC whitening layer C -> whiten_dim.
       netvlad_clusters: K for NetVLAD.
       gem_p_trainable: learn GeM's p (reference default: learnable, init 3.0).
@@ -236,6 +236,15 @@ class RetrievalNet(nn.Module):
                         desc = l2n(desc)
                     return desc
                 pooled = gem(feats, p, mask=fmask)
+            elif self.pooling == "gemmp":
+                # cirtorch GeMmp: one learnable exponent PER CHANNEL
+                # (always trainable there); gem() broadcasts a [C] p
+                pmp = self.param(
+                    "gem_p",
+                    lambda rng: jnp.full(
+                        (feats.shape[-1],), self.gem_p, jnp.float32),
+                )
+                pooled = gem(feats, pmp, mask=fmask)
             elif self.pooling == "mac":
                 pooled = mac(feats, mask=fmask)
             elif self.pooling == "spoc":

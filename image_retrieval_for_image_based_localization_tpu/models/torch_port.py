@@ -243,7 +243,10 @@ def port_retrieval_net(
         variables["batch_stats"] = {"trunk": trunk["batch_stats"]}
 
     if pool_key in sd:
-        params["gem_p"] = _np(sd[pool_key]).reshape(())
+        p = _np(sd[pool_key])
+        # scalar GeM stores p as [1]; GeMmp stores one exponent per
+        # channel [C] — keep the vector shape for the gemmp head
+        params["gem_p"] = p.reshape(()) if p.size == 1 else p.reshape(-1)
     if f"{whiten_key}.weight" in sd:
         params["whiten"] = {
             "kernel": _np(sd[f"{whiten_key}.weight"]).T,

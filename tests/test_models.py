@@ -255,3 +255,37 @@ def test_golden_descriptor_snapshot():
         np.float32,
     )
     np.testing.assert_allclose(d[0, :8], golden, atol=2e-4)
+
+
+def test_gemmp_checkpoint_ports_vector_p():
+    """A cirtorch GeMmp checkpoint (pool.p of shape [C]) ports to a [C]
+    gem_p param and the gemmp head reproduces the torch math."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from torch_oracles import resnet18_trunk, randomize_bn_stats
+    from irtpu.models.retrieval_net import RetrievalNet
+    from irtpu.models.torch_port import port_retrieval_net
+
+    tm = randomize_bn_stats(resnet18_trunk(), 7).eval()
+    rngp = np.random.RandomState(7)
+    pvec = (2.0 + rngp.rand(512)).astype(np.float32)
+    x = np.random.RandomState(8).rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        f = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        pt = torch.from_numpy(pvec).view(1, -1, 1, 1)
+        pooled = F.avg_pool2d(
+            f.clamp(min=1e-6).pow(pt), f.shape[-2:]).pow(1.0 / pt)
+        pooled = pooled.squeeze(-1).squeeze(-1)
+        want = (pooled / (pooled.norm(dim=1, keepdim=True) + 1e-6)).numpy()
+
+    sd = {f"features.{k}": v for k, v in tm.state_dict().items()}
+    sd["pool.p"] = torch.from_numpy(pvec)
+    variables = port_retrieval_net(sd, "resnet18")
+    assert np.asarray(variables["params"]["gem_p"]).shape == (512,)
+    variables = jax.tree.map(jnp.asarray, variables)
+    model = RetrievalNet(arch="resnet18", pooling="gemmp")
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)

@@ -208,3 +208,45 @@ def test_rmac_bucketed_ignores_padding():
     da = np.asarray(rmac_bucketed(jnp.asarray(a), jnp.asarray(sizes)))
     db = np.asarray(rmac_bucketed(jnp.asarray(b), jnp.asarray(sizes)))
     np.testing.assert_array_equal(da, db)
+
+
+def test_gemmp_per_channel_p():
+    """gem() with a [C] exponent vector == per-channel scalar gem calls
+    (the cirtorch GeMmp semantics)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 5, 7, 4).astype(np.float32))
+    p = jnp.asarray([2.0, 3.0, 4.0, 5.0], jnp.float32)
+    got = gem(x, p)
+    for c in range(4):
+        want_c = gem(x[..., c : c + 1], float(p[c]))
+        np.testing.assert_allclose(got[:, c : c + 1], want_c,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gemmp_model_head():
+    """RetrievalNet(pooling='gemmp') declares a per-channel p and runs."""
+    import jax
+
+    from irtpu.models.retrieval_net import RetrievalNet
+
+    model = RetrievalNet(arch="resnet18", pooling="gemmp")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert variables["params"]["gem_p"].shape == (512,)
+    d = model.apply(variables, x)
+    assert d.shape == (1, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_powerlaw_matches_reference_semantics():
+    """powerlaw == cirtorch functional.powerlaw: x+=eps; sign(x)*sqrt|x|."""
+    from irtpu.ops.normalization import powerlaw
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(4, 16).astype(np.float32)
+    eps = 1e-6
+    want = np.sign(x + eps) * np.sqrt(np.abs(x + eps))
+    np.testing.assert_allclose(np.asarray(powerlaw(jnp.asarray(x))), want,
+                               rtol=1e-6, atol=1e-7)

@@ -356,6 +356,11 @@ def cmd_build_index(argv):
                         "becomes an IVF-PQ residual index "
                         "(<out>.ivfpq.npz), alone a flat ADC index "
                         "(<out>.pq.npz)")
+    p.add_argument("--external-gallery", action="store_true",
+                   help="store the gallery as an uncompressed "
+                        "<out>.gallery.npy sidecar, loaded back "
+                        "memory-mapped (the 1M-row/8GB shape: no "
+                        "decompress-into-RAM on load)")
     p.add_argument("--opq", type=int, default=0, metavar="ITERS",
                    help="with --pq: learn an OPQ rotation with this many "
                         "alternation iterations before encoding (better "
@@ -382,7 +387,7 @@ def cmd_build_index(argv):
                     dba_nqe=args.dba, dba_alpha=args.dba_alpha),
         whitening_mP=whitening_mP,
     )
-    index.save(args.out)
+    index.save(args.out, external_gallery=args.external_gallery)
     print(f"built index over {descs.shape} -> {args.out}")
     ivf = None
     if args.ivf is not None:

@@ -272,16 +272,37 @@ class Index:
 
     # -- persistence ---------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, external_gallery: bool = False) -> None:
+        """Persist the index.
+
+        ``external_gallery=True`` writes the gallery as an UNCOMPRESSED
+        sidecar ``<path>.gallery.npy`` (atomic rename) and only the small
+        whitening/meta arrays into the npz — the config-5 shape (1M x 2048
+        f32 = 8 GB): compressing random-ish floats buys little, and the
+        sidecar loads back memory-mapped, so process RSS stays at the
+        working set while the device upload streams straight from the
+        page cache.
+        """
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         meta = {"dims": self.dims, "version": 1, "storage": self.storage}
-        np.savez_compressed(
-            path,
-            gallery=self.gallery,
+        arrays = dict(
             m=np.zeros(0) if self.m is None else self.m,
             P=np.zeros((0, 0)) if self.P is None else self.P,
             ids=np.zeros(0) if self.ids is None else self.ids,
+        )
+        if external_gallery:
+            gpath = path.removesuffix(".npz") + ".gallery.npy"
+            meta["external_gallery"] = os.path.basename(gpath)
+            tmp = gpath + ".tmp"
+            with open(tmp, "wb") as f:  # file handle: np.save won't
+                np.save(f, self.gallery)  # append another .npy suffix
+            os.replace(tmp, gpath)
+        else:
+            arrays["gallery"] = self.gallery
+        np.savez_compressed(
+            path,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **arrays,
         )
 
     @classmethod
@@ -293,7 +314,13 @@ class Index:
         m = z["m"] if z["m"].size else None
         P = z["P"] if z["P"].size else None
         ids = z["ids"] if z["ids"].size else None
+        if meta.get("external_gallery"):
+            gpath = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                 meta["external_gallery"])
+            gallery = np.load(gpath, mmap_mode="r")
+        else:
+            gallery = z["gallery"]
         return cls(
-            gallery=z["gallery"], m=m, P=P, dims=meta.get("dims"), ids=ids,
+            gallery=gallery, m=m, P=P, dims=meta.get("dims"), ids=ids,
             storage=meta.get("storage", "float32"),
         )

@@ -135,3 +135,30 @@ def test_storage_persists(tmp_path):
     idx.save(str(tmp_path / "i.npz"))
     loaded = Index.load(str(tmp_path / "i.npz"))
     assert loaded.storage == "int8"
+
+
+def test_external_gallery_mmap_roundtrip(tmp_path):
+    """save(external_gallery=True): uncompressed sidecar loads back
+    memory-mapped and queries identically to the in-npz layout."""
+    from irtpu.retrieval.index import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(44)
+    g = rng.randn(80, 32).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    index = Index.build(g, IndexConfig(whitening="pca"))
+    q = g[:5] + 0.01
+
+    p1 = str(tmp_path / "inline.npz")
+    p2 = str(tmp_path / "ext.npz")
+    index.save(p1)
+    index.save(p2, external_gallery=True)
+    assert (tmp_path / "ext.gallery.npy").exists()
+
+    a = Index.load(p1)
+    b = Index.load(p2)
+    assert isinstance(b.gallery, np.memmap)
+    s1, i1 = a.query(q, k=7)
+    s2, i2 = b.query(q, k=7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)

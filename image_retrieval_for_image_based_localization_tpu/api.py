@@ -93,9 +93,17 @@ class Extractor:
         # (ops.pooling.rmac_bucketed), so padding never enters a region and
         # results match the exact-shape path per image.
         self.cfg = cfg
+        if mc.regional and not cfg.exact:
+            import dataclasses as _dc
+
+            # the region grid is a static function of the exact (H, W);
+            # bucketed padding has no reference-exact regional analog
+            cfg = _dc.replace(cfg, exact=True)
+            self.cfg = cfg
         self.model = RetrievalNet(
             arch=mc.arch,
             pooling=mc.pooling,
+            regional=mc.regional,
             whiten_dim=mc.whiten_dim,
             netvlad_clusters=mc.netvlad_clusters,
             gem_p=mc.gem_p,
@@ -141,8 +149,14 @@ class Extractor:
             return jnp.asarray(1.0, jnp.float32)
 
         folded = self._folded
+        # regional pooling forces exact-shape extraction (no spatial
+        # padding), so the pipeline's mask is trivially full — drop it
+        # statically (the regional head rejects masked batches by design)
+        regional = getattr(model, "regional", False)
 
         def single_scale(variables, pixels, mask, scale: float):
+            if regional:
+                mask = None
             if scale != 1.0:
                 B, H, W, C = pixels.shape
                 # reference semantics: F.interpolate(scale_factor=s) ->
@@ -152,19 +166,24 @@ class Extractor:
                 pixels = jax.image.resize(
                     pixels, (B, nh, nw, C), "bilinear", antialias=False
                 )
-                mask = (
-                    jax.image.resize(mask.astype(jnp.float32), (B, nh, nw), "nearest")
-                    >= 0.5
-                )
+                if mask is not None:
+                    mask = (
+                        jax.image.resize(
+                            mask.astype(jnp.float32), (B, nh, nw), "nearest")
+                        >= 0.5
+                    )
             if folded is not None:
                 from image_retrieval_for_image_based_localization_tpu.models.fused_trunk import (
                     trunk_apply_fused,
                 )
 
                 feats = trunk_apply_fused(folded, pixels.astype(model.dtype))
-                sh = pixels.shape[1] // feats.shape[1]
-                sw = pixels.shape[2] // feats.shape[2]
-                fmask = mask[:, ::sh, ::sw][:, : feats.shape[1], : feats.shape[2]]
+                fmask = None
+                if mask is not None:
+                    sh = pixels.shape[1] // feats.shape[1]
+                    sw = pixels.shape[2] // feats.shape[2]
+                    fmask = mask[:, ::sh, ::sw][
+                        :, : feats.shape[1], : feats.shape[2]]
                 return model.apply(
                     variables, feats, mask=fmask, precomputed_features=True
                 )

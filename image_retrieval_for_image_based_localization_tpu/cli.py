@@ -24,6 +24,10 @@ def _model_args(p: argparse.ArgumentParser):
     p.add_argument("--arch", default="resnet50")
     p.add_argument("--pooling", default="gem",
                    choices=["gem", "gemmp", "mac", "spoc", "rmac", "netvlad"])
+    p.add_argument("--regional", action="store_true",
+                   help="cirtorch Rpool: base pool per R-MAC region, "
+                        "per-region L2N (+whitening if --whiten-dim), "
+                        "region sum (forces exact-shape extraction)")
     p.add_argument("--whiten-dim", type=int, default=None,
                    help="learned FC whitening output dim")
     p.add_argument("--image-size", type=int, default=1024)
@@ -61,6 +65,7 @@ def _build_extract_cfg(args):
         model=ModelConfig(
             arch=args.arch,
             pooling=args.pooling,
+            regional=getattr(args, "regional", False),
             whiten_dim=args.whiten_dim,
             dtype="bfloat16" if args.bf16 else "float32",
             use_pallas=args.pallas,
@@ -95,6 +100,7 @@ def _resolve_network(args):
     )
     args.arch = model.arch
     args.pooling = model.pooling
+    args.regional = model.regional
     args.whiten_dim = model.whiten_dim
     return variables, mP
 

@@ -30,6 +30,7 @@ from image_retrieval_for_image_based_localization_tpu.ops import (
     mac,
     spoc,
     rmac,
+    rpool,
     l2n,
     netvlad_aggregate,
 )
@@ -91,6 +92,7 @@ class RetrievalNet(nn.Module):
 
     arch: str = "resnet50"
     pooling: str = "gem"
+    regional: bool = False
     whiten_dim: Optional[int] = None
     netvlad_clusters: int = 64
     gem_p: float = 3.0
@@ -202,6 +204,32 @@ class RetrievalNet(nn.Module):
                 # casting here would materialize an f32 copy of the feature
                 # map in HBM (measured ~7 ms/iter at b128 resnet50 @1024)
                 feats = feats.astype(jnp.float32)
+            if self.regional:
+                # cirtorch Rpool (init_network regional=True): base pool
+                # per R-MAC region, per-region L2N, the learned whitening
+                # applied PER REGION (shared FC) when whiten_dim is set,
+                # region sum, final L2N. Exact shapes only, like the
+                # reference's bs=1 regime.
+                if self.pooling not in ("gem", "mac", "spoc"):
+                    raise ValueError(
+                        f"regional pooling wraps gem/mac/spoc, not "
+                        f"{self.pooling!r}")
+                if fmask is not None:
+                    raise ValueError(
+                        "regional pooling requires exact shapes (no "
+                        "padding mask) — use ExtractConfig(exact=True)")
+                rp = self.gem_p
+                if self.pooling == "gem" and self.gem_p_trainable:
+                    rp = self.param(
+                        "gem_p",
+                        lambda rng: jnp.asarray(self.gem_p, jnp.float32),
+                    )
+                whiten_fn = None
+                if self.whiten_dim is not None:
+                    whiten_fn = nn.Dense(self.whiten_dim, name="whiten")
+                pooled = rpool(feats, base=self.pooling, p=rp,
+                               whiten_fn=whiten_fn)
+                return l2n(pooled)  # whitening already applied per region
             if self.pooling == "gem":
                 if self.gem_p_trainable:
                     p = self.param(

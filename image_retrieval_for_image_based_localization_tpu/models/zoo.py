@@ -49,6 +49,7 @@ def create_model_from_meta(meta: Dict[str, Any], **overrides) -> RetrievalNet:
     kw = dict(
         arch=meta.get("arch", "resnet50"),
         pooling=meta.get("pooling", "gem"),
+        regional=bool(meta.get("regional", False)),
         whiten_dim=meta.get("whiten_dim"),
         netvlad_clusters=meta.get("netvlad_clusters", 64),
         gem_p=meta.get("gem_p", 3.0),

@@ -9,6 +9,7 @@ from image_retrieval_for_image_based_localization_tpu.ops.pooling import (  # no
     spoc,
     gem,
     rmac,
+    rpool,
     POOLING_FNS,
 )
 from image_retrieval_for_image_based_localization_tpu.ops.normalization import (  # noqa: F401

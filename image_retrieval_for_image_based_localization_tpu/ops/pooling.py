@@ -129,6 +129,43 @@ def rmac_regions(H: int, W: int, L: int = 3) -> list[tuple[int, int, int, int]]:
     return regions
 
 
+def rpool(
+    x: jnp.ndarray,
+    base: str = "gem",
+    p: jnp.ndarray | float = 3.0,
+    L: int = 3,
+    whiten_fn=None,
+) -> jnp.ndarray:
+    """Regional pooling (cirtorch ``Rpool`` / Gordo et al. R-MAC lineage):
+    base-pool (GeM/MAC/SPoC) the full image plus every R-MAC grid region,
+    L2-normalize each region vector, optionally pass each through a SHARED
+    learned whitening ``whiten_fn`` (+L2N), and sum. The caller applies the
+    final L2N (the net-level norm, as in the reference).
+
+    Exact shapes only (the region grid is a static function of (H, W), the
+    reference's bs=1 regime); bucketed/masked batches are rejected at the
+    model layer.
+    """
+    from image_retrieval_for_image_based_localization_tpu.ops.normalization import l2n
+
+    B, H, W, C = x.shape
+    pools = {
+        "gem": lambda r: gem(r, p),
+        "mac": mac,
+        "spoc": spoc,
+    }
+    if base not in pools:
+        raise ValueError(f"rpool wraps gem/mac/spoc, got {base!r}")
+    pool_fn = pools[base]
+    out = None
+    for (yy, xx, hh, ww) in [(0, 0, H, W), *rmac_regions(H, W, L)]:
+        v = l2n(pool_fn(x[:, yy : yy + hh, xx : xx + ww, :]))
+        if whiten_fn is not None:
+            v = l2n(whiten_fn(v))
+        out = v if out is None else out + v
+    return out
+
+
 def rmac(
     x: jnp.ndarray,
     L: int = 3,

@@ -19,6 +19,7 @@ DEFAULT_SCALES: Tuple[float, ...] = (1.0, 2 ** -0.5, 0.5)
 class ModelConfig:
     arch: str = "resnet50"
     pooling: str = "gem"
+    regional: bool = False  # cirtorch Rpool: base pool per R-MAC region
     whiten_dim: Optional[int] = None  # learned FC whitening inside the model
     netvlad_clusters: int = 64
     gem_p: float = 3.0

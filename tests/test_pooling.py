@@ -250,3 +250,64 @@ def test_powerlaw_matches_reference_semantics():
     want = np.sign(x + eps) * np.sqrt(np.abs(x + eps))
     np.testing.assert_allclose(np.asarray(powerlaw(jnp.asarray(x))), want,
                                rtol=1e-6, atol=1e-7)
+
+
+def test_rpool_matches_manual_composition():
+    """rpool == per-region base pool -> l2n -> (whiten+l2n) -> sum, over
+    the full image + the R-MAC grid (cirtorch Rpool semantics)."""
+    from irtpu.ops.normalization import l2n
+    from irtpu.ops.pooling import rmac_regions, rpool
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, 9, 13, 8).astype(np.float32))
+    p = 3.0
+    W = jnp.asarray(rng.randn(8, 4).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(4).astype(np.float32) * 0.1)
+    whiten = lambda v: v @ W + b
+
+    want = None
+    for (yy, xx, hh, ww) in [(0, 0, 9, 13), *rmac_regions(9, 13, 3)]:
+        v = l2n(gem(x[:, yy:yy + hh, xx:xx + ww, :], p))
+        v = l2n(whiten(v))
+        want = v if want is None else want + v
+    got = rpool(x, base="gem", p=p, whiten_fn=whiten)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_regional_model_head():
+    """RetrievalNet(regional=True): per-region whitening inside the pool,
+    unit-norm output, masked batches rejected."""
+    import jax
+    import pytest as _pytest
+
+    from irtpu.models.retrieval_net import RetrievalNet
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    model = RetrievalNet(arch="resnet18", pooling="gem", regional=True,
+                         whiten_dim=128)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "whiten" in variables["params"]
+    d = model.apply(variables, x)
+    assert d.shape == (1, 128)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0,
+                               atol=1e-5)
+    mask = jnp.ones(x.shape[:3], bool).at[:, 32:, :].set(False)
+    with _pytest.raises(ValueError, match="exact shapes"):
+        model.apply(variables, x, mask=mask)
+
+
+def test_regional_extractor_forces_exact():
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18", regional=True),
+                        image_size=64, batch_size=2)
+    ex = Extractor(cfg)
+    assert ex.cfg.exact is True
+    rng = np.random.RandomState(2)
+    imgs = [(rng.rand(48, 64, 3)).astype(np.float32) for _ in range(2)]
+    d = ex.extract(imgs)
+    assert d.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)

@@ -79,11 +79,11 @@ class Extractor:
         rng: int = 0,
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        import dataclasses as _dc
+
         mc = cfg.model
         if mesh is not None and "data" in mesh.shape:
             # DP sharding needs the (padded) batch divisible by the data axis
-            import dataclasses as _dc
-
             ddim = mesh.shape["data"]
             bs = -(-cfg.batch_size // ddim) * ddim
             if bs != cfg.batch_size:
@@ -92,14 +92,11 @@ class Extractor:
         # each image's region grid from its valid (h, w) extents
         # (ops.pooling.rmac_bucketed), so padding never enters a region and
         # results match the exact-shape path per image.
-        self.cfg = cfg
         if mc.regional and not cfg.exact:
-            import dataclasses as _dc
-
             # the region grid is a static function of the exact (H, W);
             # bucketed padding has no reference-exact regional analog
             cfg = _dc.replace(cfg, exact=True)
-            self.cfg = cfg
+        self.cfg = cfg
         self.model = RetrievalNet(
             arch=mc.arch,
             pooling=mc.pooling,
@@ -138,6 +135,12 @@ class Extractor:
         def msp_value(variables) -> jnp.ndarray:
             if cfg.msp is not None:
                 return jnp.asarray(cfg.msp, jnp.float32)
+            if getattr(model, "regional", False):
+                # cirtorch sets msp=1 whenever meta['regional'] is true:
+                # the regional descriptor is a SUM of L2-normalized region
+                # vectors, not a raw GeM output — power-mean across scales
+                # would be wrong even though the base pool is GeM
+                return jnp.asarray(1.0, jnp.float32)
             if (
                 model.pooling == "gem"
                 and model.whiten_dim is None

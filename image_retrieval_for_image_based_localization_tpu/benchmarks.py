@@ -565,12 +565,19 @@ def run_serving_bench(
             list(exe.map(one, range(requests)))
         wall = time.perf_counter() - t0
         srv.shutdown()
-        larr = np.asarray(lat) * 1e3
+        srv.server_close()  # release the listening socket fd
+        if srv.service.batcher is not None:
+            srv.service.batcher.close()  # stop the collector thread
+        from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
+            percentile_summary,
+        )
+
+        pct = percentile_summary(lat, unit="ms")
         out[mode] = {
             "qps": round(requests / wall, 1),
-            "lat_p50_ms": round(float(np.percentile(larr, 50)), 2),
-            "lat_p95_ms": round(float(np.percentile(larr, 95)), 2),
-            "lat_p99_ms": round(float(np.percentile(larr, 99)), 2),
+            "lat_p50_ms": pct["p50_ms"],
+            "lat_p95_ms": pct["p95_ms"],
+            "lat_p99_ms": pct["p99_ms"],
             "concurrency": concurrency,
             "batch_window_ms": window,
         }

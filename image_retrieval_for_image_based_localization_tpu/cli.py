@@ -693,7 +693,7 @@ def cmd_serve(argv):
           pq=pq, refine=args.refine,
           batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
           reload_paths={"index": args.index, "ivf": args.ivf,
-                        "pq": args.pq})
+                        "pq": args.pq, "db_names": args.db_names})
 
 
 def cmd_download(argv):

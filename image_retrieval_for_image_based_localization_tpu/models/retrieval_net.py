@@ -139,6 +139,13 @@ class RetrievalNet(nn.Module):
                     :, : feats.shape[1], : feats.shape[2]
                 ]
 
+        if self.regional and self.pooling not in ("gem", "mac", "spoc"):
+            # validate BEFORE the pooling dispatch: regional + netvlad
+            # would otherwise take the netvlad branch and silently ignore
+            # the flag
+            raise ValueError(
+                f"regional pooling wraps gem/mac/spoc, not {self.pooling!r}")
+
         if self.pooling == "netvlad":
             C = feats.shape[-1]
             K = self.netvlad_clusters
@@ -199,7 +206,8 @@ class RetrievalNet(nn.Module):
                     feats.astype(jnp.float32), centroids, assign_w, assign_b, mask=fm
                 )
         else:
-            if not (self.use_pallas and self.pooling == "gem"):
+            if not (self.use_pallas and self.pooling == "gem"
+                    and not self.regional):
                 # the fused Pallas head upcasts per-VMEM-chunk in-kernel;
                 # casting here would materialize an f32 copy of the feature
                 # map in HBM (measured ~7 ms/iter at b128 resnet50 @1024)
@@ -210,10 +218,6 @@ class RetrievalNet(nn.Module):
                 # applied PER REGION (shared FC) when whiten_dim is set,
                 # region sum, final L2N. Exact shapes only, like the
                 # reference's bs=1 regime.
-                if self.pooling not in ("gem", "mac", "spoc"):
-                    raise ValueError(
-                        f"regional pooling wraps gem/mac/spoc, not "
-                        f"{self.pooling!r}")
                 if fmask is not None:
                     raise ValueError(
                         "regional pooling requires exact shapes (no "

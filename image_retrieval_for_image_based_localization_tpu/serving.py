@@ -65,18 +65,23 @@ class EndpointStats:
         self._count[endpoint] += 1
 
     def summary(self) -> dict:
+        from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
+            percentile_summary,
+        )
+
         out = {}
         for ep, dq in list(self._lat.items()):
-            lat = np.asarray(dq, np.float64) * 1e3
+            # list() snapshots atomically under the GIL; iterating the live
+            # deque races concurrent record() appends (RuntimeError: deque
+            # mutated during iteration — exactly under the load /statz
+            # exists to observe)
+            lat = np.asarray(list(dq), np.float64)
             if lat.size == 0:
                 continue
             out[ep] = {
                 "count": int(self._count[ep]),
                 "window": int(lat.size),
-                "p50_ms": round(float(np.percentile(lat, 50)), 2),
-                "p95_ms": round(float(np.percentile(lat, 95)), 2),
-                "p99_ms": round(float(np.percentile(lat, 99)), 2),
-                "mean_ms": round(float(lat.mean()), 2),
+                **percentile_summary(lat, unit="ms"),
             }
         return out
 
@@ -240,10 +245,22 @@ class RetrievalService:
             )
 
             new_pq = load_pq_artifact(paths["pq"])
+        new_names = self.db_names
+        if paths.get("db_names"):
+            new_names = [l.strip() for l in open(paths["db_names"])
+                         if l.strip()]
+        if new_names is not None and len(new_names) != new_index.gallery.shape[0]:
+            # a stale name list would mis-label (or IndexError on) every
+            # row the old list doesn't cover — refuse the swap
+            raise ValueError(
+                f"db_names has {len(new_names)} entries but the republished "
+                f"gallery has {new_index.gallery.shape[0]} rows — republish "
+                "the names file too")
         with self._lock:
             self.index = new_index
             self.ivf = new_ivf
             self.pq = new_pq
+            self.db_names = new_names
         return {"gallery": int(new_index.gallery.shape[0]),
                 "dim": int(new_index.gallery.shape[1]),
                 "ivf": new_ivf is not None, "pq": new_pq is not None}
@@ -499,6 +516,7 @@ def serve(
         daemon_threads = True
 
     srv = _Server((host, port), _make_handler(service, reload_paths))
+    srv.service = service  # embedders/benches: reach the batcher for close()
     if block:
         print(f"serving gallery[{index.gallery.shape[0]}] on "
               f"http://{host}:{srv.server_address[1]}")

@@ -60,3 +60,19 @@ def profile_trace(logdir: str = "/tmp/irtpu_trace", enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def percentile_summary(lat_seconds, unit: str = "ms") -> dict:
+    """p50/p95/p99/mean summary of latencies given in SECONDS, emitted in
+    ``unit`` ('ms' or 's') — the one shared implementation behind serving's
+    /statz window and the bench harnesses."""
+    import numpy as np
+
+    lat = np.asarray(lat_seconds, np.float64)
+    scale = 1e3 if unit == "ms" else 1.0
+    return {
+        f"p50_{unit}": round(float(np.percentile(lat, 50)) * scale, 2),
+        f"p95_{unit}": round(float(np.percentile(lat, 95)) * scale, 2),
+        f"p99_{unit}": round(float(np.percentile(lat, 99)) * scale, 2),
+        f"mean_{unit}": round(float(lat.mean()) * scale, 2),
+    }

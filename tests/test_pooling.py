@@ -311,3 +311,59 @@ def test_regional_extractor_forces_exact():
     d = ex.extract(imgs)
     assert d.shape == (2, 512)
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+
+
+def test_regional_multiscale_uses_plain_mean():
+    """Multi-scale regional extraction must average scales (msp=1, the
+    cirtorch regional rule), not apply the GeM power-mean — pinned by
+    composing the expected descriptor from per-scale extractions."""
+    import dataclasses
+
+    from irtpu.api import Extractor
+    from irtpu.ops.normalization import l2n as _l2n
+    from irtpu.utils.config import DEFAULT_SCALES, ExtractConfig, ModelConfig
+
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18", regional=True),
+                        image_size=64, batch_size=1, scales=DEFAULT_SCALES)
+    ex = Extractor(cfg)
+    rng = np.random.RandomState(3)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    got = ex.extract([img])
+
+    per_scale = []
+    for s in DEFAULT_SCALES:
+        c1 = dataclasses.replace(cfg, scales=(s,))
+        per_scale.append(Extractor(c1, variables=ex.variables).extract([img]))
+    want = np.asarray(_l2n(jnp.asarray(np.mean(per_scale, axis=0))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_regional_netvlad_rejected():
+    import jax
+    import pytest as _pytest
+
+    from irtpu.models.retrieval_net import RetrievalNet
+
+    model = RetrievalNet(arch="resnet18", pooling="netvlad", regional=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with _pytest.raises(ValueError, match="regional pooling wraps"):
+        model.init(jax.random.PRNGKey(0), x)
+
+
+def test_regional_bf16_pallas_flag_still_f32_head():
+    """use_pallas + bf16 + regional must still upcast features to f32 for
+    the (non-Pallas) regional head — descriptors match the non-pallas
+    config to f32 tolerance."""
+    import jax
+
+    from irtpu.models.retrieval_net import RetrievalNet
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    a = RetrievalNet(arch="resnet18", pooling="gem", regional=True,
+                     dtype=jnp.bfloat16, use_pallas=True)
+    b = RetrievalNet(arch="resnet18", pooling="gem", regional=True,
+                     dtype=jnp.bfloat16, use_pallas=False)
+    variables = a.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(np.asarray(a.apply(variables, x)),
+                                  np.asarray(b.apply(variables, x)))

@@ -347,3 +347,58 @@ def test_admin_reload_without_paths_is_400():
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_admin_reload_rejects_stale_db_names(tmp_path):
+    """Reloading a differently-sized gallery with a stale names list must
+    refuse the swap (400) instead of mis-labeling rows later."""
+    rng = np.random.RandomState(62)
+    g1 = rng.randn(20, 16).astype(np.float32)
+    ipath = str(tmp_path / "live.npz")
+    Index.build(g1, IndexConfig(whitening=None)).save(ipath)
+    names = [f"db{i}" for i in range(20)]
+    srv = serve(Index.load(ipath), db_names=names, block=False, port=0,
+                reload_paths={"index": ipath})
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        Index.build(rng.randn(30, 16).astype(np.float32),
+                    IndexConfig(whitening=None)).save(ipath)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{url}/admin/reload", b"")
+        assert ei.value.code == 400
+        assert "db_names" in json.loads(ei.value.read())["error"]
+        # old servable still intact
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            assert json.loads(r.read())["gallery"] == 20
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_admin_reload_with_names_path(tmp_path):
+    """db_names given as a reload path: republished names swap together
+    with the gallery."""
+    rng = np.random.RandomState(63)
+    ipath = str(tmp_path / "live.npz")
+    npath = str(tmp_path / "names.txt")
+    g1 = rng.randn(10, 16).astype(np.float32)
+    Index.build(g1, IndexConfig(whitening=None)).save(ipath)
+    open(npath, "w").write("\n".join(f"a{i}" for i in range(10)) + "\n")
+    srv = serve(Index.load(ipath),
+                db_names=[f"a{i}" for i in range(10)], block=False, port=0,
+                reload_paths={"index": ipath, "db_names": npath})
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        g2 = rng.randn(12, 16).astype(np.float32)
+        g2 /= np.linalg.norm(g2, axis=1, keepdims=True)
+        Index.build(g2, IndexConfig(whitening=None)).save(ipath)
+        open(npath, "w").write("\n".join(f"b{i}" for i in range(12)) + "\n")
+        assert _post(f"{url}/admin/reload", b"")["gallery"] == 12
+        body = json.dumps({"descriptors": g2[[5]].tolist(), "k": 1}).encode()
+        res = _post(f"{url}/query", body)
+        assert res["names"][0][0] == "b5"
+    finally:
+        srv.shutdown()
+        srv.server_close()

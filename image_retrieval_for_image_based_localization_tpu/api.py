@@ -15,6 +15,8 @@ semantics").
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -345,6 +347,60 @@ class Extractor:
         for d, ix in pending:
             out[ix] = np.asarray(d)[: len(ix)]
         return out
+
+    def _extract_structured(self, images, bbxs, apply_kwargs):
+        """Shared driver for the non-aggregated extraction APIs: exact
+        shapes (region grids / feature maps are shape-dependent), one jit
+        cache entry per distinct image shape, per-image outputs as a list.
+        """
+        import dataclasses as _dc
+
+        from image_retrieval_for_image_based_localization_tpu.data.images import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        cfg = _dc.replace(self.cfg, exact=True)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        model = self.model
+
+        @functools.partial(jax.jit, static_argnames=())
+        def fwd(variables, pixels_u8):
+            x = pixels_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            return model.apply(variables, x, **apply_kwargs)
+
+        out: list = [None] * len(images)
+        for batch in make_batches(
+            images, image_size=cfg.image_size, batch_size=cfg.batch_size,
+            bucket_multiple=1, bbxs=bbxs, upscale=cfg.upscale,
+            resize_filter=cfg.resize_filter,
+        ):
+            res = np.asarray(fwd(self.variables, jnp.asarray(batch.pixels_u8)))
+            for row, ix in enumerate(batch.indices):
+                out[ix] = res[row]
+        return out
+
+    def extract_regional(self, images: Sequence, bbxs=None) -> list:
+        """Per-image PER-REGION descriptors (cirtorch
+        ``extract_regional_vectors``): a list of ``[R_i, D]`` arrays — each
+        region base-pooled, L2-normalized, and whitened (when the model has
+        a whiten FC), NOT summed. Requires a regional model. R_i depends on
+        each image's exact aspect (the R-MAC grid)."""
+        if not self.model.regional:
+            raise ValueError("extract_regional requires ModelConfig("
+                             "regional=True)")
+        return self._extract_structured(images, bbxs,
+                                        {"return_regions": True})
+
+    def extract_local(self, images: Sequence, bbxs=None) -> list:
+        """Per-image LOCAL features (cirtorch ``extract_local_vectors``): a
+        list of ``[h_i, w_i, C]`` arrays — every trunk spatial position's
+        activation, L2-normalized over channels. Input to local-aggregation
+        pipelines (ASMK-style)."""
+        return self._extract_structured(images, bbxs,
+                                        {"return_features": True})
 
     def extract_resumable(
         self,

@@ -121,6 +121,8 @@ class RetrievalNet(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
         precomputed_features: bool = False,
+        return_features: bool = False,
+        return_regions: bool = False,
     ) -> jnp.ndarray:
         if precomputed_features:
             # x is already the trunk feature map (e.g. from the inference-
@@ -139,6 +141,13 @@ class RetrievalNet(nn.Module):
                     :, : feats.shape[1], : feats.shape[2]
                 ]
 
+        if return_features:
+            # cirtorch extract_local_vectors: every spatial position's
+            # trunk activation, L2-normalized over channels — [B, h, w, C]
+            return l2n(feats.astype(jnp.float32))
+
+        if return_regions and not self.regional:
+            raise ValueError("return_regions requires regional=True")
         if self.regional and self.pooling not in ("gem", "mac", "spoc"):
             # validate BEFORE the pooling dispatch: regional + netvlad
             # would otherwise take the netvlad branch and silently ignore
@@ -231,6 +240,11 @@ class RetrievalNet(nn.Module):
                 whiten_fn = None
                 if self.whiten_dim is not None:
                     whiten_fn = nn.Dense(self.whiten_dim, name="whiten")
+                if return_regions:
+                    # cirtorch extract_regional_vectors: per-region vectors
+                    # [B, R, D] (already per-region L2N'd + whitened)
+                    return rpool(feats, base=self.pooling, p=rp,
+                                 whiten_fn=whiten_fn, aggregate=False)
                 pooled = rpool(feats, base=self.pooling, p=rp,
                                whiten_fn=whiten_fn)
                 return l2n(pooled)  # whitening already applied per region

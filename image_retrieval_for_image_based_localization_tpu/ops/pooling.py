@@ -135,12 +135,18 @@ def rpool(
     p: jnp.ndarray | float = 3.0,
     L: int = 3,
     whiten_fn=None,
+    aggregate: bool = True,
 ) -> jnp.ndarray:
     """Regional pooling (cirtorch ``Rpool`` / Gordo et al. R-MAC lineage):
     base-pool (GeM/MAC/SPoC) the full image plus every R-MAC grid region,
     L2-normalize each region vector, optionally pass each through a SHARED
     learned whitening ``whiten_fn`` (+L2N), and sum. The caller applies the
     final L2N (the net-level norm, as in the reference).
+
+    ``aggregate=False`` returns the per-region vectors ``[B, R, D]``
+    instead of their sum (cirtorch ``Rpool.forward(aggregate=False)`` /
+    ``extract_regional_vectors`` — the input to ASMK-style local
+    aggregation pipelines).
 
     Exact shapes only (the region grid is a static function of (H, W), the
     reference's bs=1 regime); bucketed/masked batches are rejected at the
@@ -157,12 +163,17 @@ def rpool(
     if base not in pools:
         raise ValueError(f"rpool wraps gem/mac/spoc, got {base!r}")
     pool_fn = pools[base]
-    out = None
+    vecs = []
     for (yy, xx, hh, ww) in [(0, 0, H, W), *rmac_regions(H, W, L)]:
         v = l2n(pool_fn(x[:, yy : yy + hh, xx : xx + ww, :]))
         if whiten_fn is not None:
             v = l2n(whiten_fn(v))
-        out = v if out is None else out + v
+        vecs.append(v)
+    if not aggregate:
+        return jnp.stack(vecs, axis=1)  # [B, R, D]
+    out = vecs[0]
+    for v in vecs[1:]:
+        out = out + v
     return out
 
 

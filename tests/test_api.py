@@ -5,6 +5,7 @@ ResNet-18 + GeM, brute-force kNN, ranking parity with the NumPy pipeline.
 """
 
 import numpy as np
+import pytest
 
 from irtpu import build_index, query, Extractor
 from irtpu import ExtractConfig, IndexConfig, ModelConfig
@@ -271,3 +272,61 @@ def test_rmac_bucketed_extractor_matches_exact():
     # stress_cos in benchmarks.measure_bucketing_delta), NOT a grid error.
     assert (cos[:2] > 0.9999).all(), cos
     assert (cos > 0.99).all(), cos
+
+
+def test_extract_regional_vectors():
+    """extract_regional: per-image [R_i, D] region vectors, each unit-norm,
+    consistent with the aggregated regional descriptor (sum + L2N)."""
+    import jax.numpy as jnp
+
+    from irtpu.api import Extractor
+    from irtpu.ops.normalization import l2n
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18", regional=True,
+                                          whiten_dim=64),
+                        image_size=64, batch_size=2)
+    ex = Extractor(cfg)
+    rng = np.random.RandomState(5)
+    imgs = [rng.rand(64, 64, 3).astype(np.float32),
+            rng.rand(48, 64, 3).astype(np.float32)]
+    regs = ex.extract_regional(imgs)
+    assert len(regs) == 2
+    assert regs[0].shape[1] == 64  # whiten_dim
+    # different aspect => possibly different region count; both unit-norm
+    for r in regs:
+        np.testing.assert_allclose(np.linalg.norm(r, axis=1), 1.0, atol=1e-5)
+    # aggregated descriptor == l2n(sum of regions)
+    agg = ex.extract(imgs)
+    for i in range(2):
+        want = np.asarray(l2n(jnp.asarray(regs[i].sum(axis=0))))
+        np.testing.assert_allclose(agg[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_extract_regional_requires_regional_model():
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    ex = Extractor(ExtractConfig(model=ModelConfig(arch="resnet18"),
+                                 image_size=64, batch_size=2))
+    with pytest.raises(ValueError, match="regional"):
+        ex.extract_regional([np.zeros((64, 64, 3), np.float32)])
+
+
+def test_extract_local_vectors():
+    """extract_local: per-image [h, w, C] unit-norm local features."""
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    ex = Extractor(ExtractConfig(model=ModelConfig(arch="resnet18"),
+                                 image_size=64, batch_size=2))
+    rng = np.random.RandomState(6)
+    imgs = [rng.rand(64, 64, 3).astype(np.float32),
+            rng.rand(32, 64, 3).astype(np.float32)]
+    locs = ex.extract_local(imgs)
+    assert len(locs) == 2
+    assert locs[0].shape == (2, 2, 512)  # 64px / 32 stride
+    assert locs[1].shape[0] == 1
+    for f in locs:
+        norms = np.linalg.norm(f, axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)

@@ -154,15 +154,25 @@ class ShardedIVF:
             row_ids = np.concatenate(
                 [row_ids, np.zeros((pad, row_ids.shape[1]), np.int32)])
         sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
-        self.centroids = jax.device_put(cent, sh(axis, None))
-        self.partitions = jax.device_put(parts, sh(axis, None, None))
-        self.lengths = jax.device_put(lengths, sh(axis))
-        self.row_ids = jax.device_put(row_ids, sh(axis, None))
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            _put_global,
+        )
+
+        # _put_global, not device_put: on a multi-process pod device_put
+        # cannot address other hosts' devices (ShardedIndex's contract)
+        self.centroids = _put_global(cent, sh(axis, None))
+        self.partitions = _put_global(parts, sh(axis, None, None))
+        self.lengths = _put_global(lengths, sh(axis))
+        self.row_ids = _put_global(row_ids, sh(axis, None))
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8
                ) -> Tuple[np.ndarray, np.ndarray]:
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            _put_global,
+        )
+
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        q = _put_global(q, NamedSharding(self.mesh, P()))
         C = self.centroids.shape[0]
         L = self.partitions.shape[1]
         # same k clamp as single-device IVFIndex.search: at most

@@ -114,10 +114,16 @@ class ShardedPQ:
         if pad:
             codes = np.concatenate(
                 [codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
-        self.codes = jax.device_put(
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            _put_global,
+        )
+
+        # _put_global, not device_put: multi-process pods can't device_put
+        # to other hosts' devices (ShardedIndex's contract)
+        self.codes = _put_global(
             codes, NamedSharding(self.mesh, P(axis, None)))
         rep = NamedSharding(self.mesh, P())
-        self.codebooks = jax.device_put(pq.codebooks, rep)
+        self.codebooks = _put_global(pq.codebooks, rep)
         self._rep = rep
 
     def search(
@@ -131,8 +137,12 @@ class ShardedPQ:
         """Distributed ADC top-k; ``refine=R`` exact-rescoring of the
         top-R rows against the HOST f32 ``gallery`` (see module doc)."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+            _put_global,
+        )
+
         qr = q if self.rotation is None else q @ self.rotation
-        qj = jax.device_put(qr, self._rep)
+        qj = _put_global(qr, self._rep)
         k_eff = min(k, self.n)
         k_stage = min(max(refine, k_eff) if refine else k_eff, self.n)
         s, i = sharded_adc_topk(

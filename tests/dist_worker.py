@@ -73,6 +73,39 @@ def main() -> None:
     assert (np.asarray(r) == np.arange(10)[None, :]).all(), r
     print(f"SHARDED_QUERY_OK pid={pid} idx_sum={int(np.asarray(s_ix).sum())}")
 
+    # approximate search across the process boundary: cluster-sharded IVF
+    # and row-sharded PQ codes spanning both processes must reproduce
+    # their single-device results (full probe / full refine == exact)
+    from image_retrieval_for_image_based_localization_tpu.parallel.sharded_ivf import (
+        ShardedIVF,
+    )
+    from image_retrieval_for_image_based_localization_tpu.parallel.sharded_pq import (
+        ShardedPQ,
+    )
+    from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+        IVFIndex,
+    )
+    from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+        PQIndex,
+    )
+
+    gsmall = np.asarray(g[:200], np.float32)
+    ivf = IVFIndex.build(gsmall, n_clusters=8)
+    sivf = ShardedIVF(ivf)
+    assert sivf.mesh.devices.size == 2
+    s_i, i_i = sivf.search(q, k=10, nprobe=8)  # full probe == exact
+    ds, di = knn_search(jnp.asarray(gsmall), jnp.asarray(q), k=10)
+    assert (np.asarray(i_i) == np.asarray(di)).all(), "sharded IVF mismatch"
+
+    pq = PQIndex.build(gsmall, m=8)
+    spq = ShardedPQ(pq)
+    s1, i1 = pq.search(q, k=10)
+    s2, i2 = spq.search(q, k=10)
+    assert (np.asarray(i1) == np.asarray(i2)).all(), "sharded ADC mismatch"
+    _, ir = spq.search(q, k=10, refine=200, gallery=gsmall)
+    assert (np.asarray(ir) == np.asarray(di)).all(), "sharded PQ refine"
+    print(f"SHARDED_ANN_OK pid={pid}")
+
     # data-parallel TRAIN step across the process boundary (the reference's
     # would-be DDP/NCCL all-reduce, SURVEY.md §2.2): batch sharded over
     # 'data' spanning both processes, gradients reduced by XLA; loss and

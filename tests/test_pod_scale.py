@@ -108,6 +108,7 @@ def test_two_process_distributed_psum():
         assert p.returncode == 0, (pid, out[-3000:])
         assert f"DIST_OK pid={pid} procs=2 psum=3.0" in out, out[-2000:]
         assert f"SHARDED_QUERY_OK pid={pid}" in out, out[-2000:]
+        assert f"SHARDED_ANN_OK pid={pid}" in out, out[-2000:]
         assert f"DIST_TRAIN_OK pid={pid}" in out, out[-2000:]
     # both processes saw the identical merged ranking
     sums = {o.split("idx_sum=")[1].split()[0] for o in outs if "idx_sum=" in o}

@@ -40,10 +40,36 @@ import time
 import numpy as np
 
 
+def _accelerator_responsive(timeout_s: float = 300.0) -> bool:
+    """Probe backend init in a SUBPROCESS: the tunneled axon TPU, when its
+    relay is down, hangs `jax.devices()` forever (observed this round) —
+    an in-process attempt would wedge the whole benchmark. The probe child
+    inherits the same sitecustomize/backend registration; if it can't
+    produce devices within the window, the parent forces CPU before
+    touching jax."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    tpu_ok = _accelerator_responsive()
     import jax
 
+    if not tpu_ok:
+        # sitecustomize pins jax_platforms='axon,cpu'; override after import
+        # (backends init lazily) so the bench reports a CPU number instead
+        # of hanging the driver
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 

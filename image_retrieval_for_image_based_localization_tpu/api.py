@@ -15,8 +15,6 @@ semantics").
 
 from __future__ import annotations
 
-import functools
-
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -116,6 +114,7 @@ class Extractor:
             )
         self.variables = variables
         self.mesh = mesh
+        self._structured_fwd = {}  # extract_regional/local jit cache
         self._folded = None
         # None resolves to OFF: the fused trunk measured slower than XLA's
         # conv emitters on hardware (see ExtractConfig.fuse_blocks)
@@ -348,34 +347,55 @@ class Extractor:
             out[ix] = np.asarray(d)[: len(ix)]
         return out
 
-    def _extract_structured(self, images, bbxs, apply_kwargs):
+    def _extract_structured(self, images, bbxs, kind: str):
         """Shared driver for the non-aggregated extraction APIs: exact
         shapes (region grids / feature maps are shape-dependent), one jit
-        cache entry per distinct image shape, per-image outputs as a list.
+        program per distinct image shape, cached across calls; per-image
+        outputs as a list. Multi-scale configs run every scale (reference
+        extract semantics: floor-sized, non-antialiased bilinear resize)
+        and CONCATENATE the per-scale vectors along the vector axis — the
+        standard shape for local-aggregation consumers.
         """
-        import dataclasses as _dc
-
         from image_retrieval_for_image_based_localization_tpu.data.images import (
             IMAGENET_MEAN,
             IMAGENET_STD,
         )
 
-        cfg = _dc.replace(self.cfg, exact=True)
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        model = self.model
+        cfg = self.cfg
+        fwd = self._structured_fwd.get(kind)
+        if fwd is None:
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            model = self.model
+            scales = tuple(sorted(cfg.scales, reverse=True))
+            apply_kwargs = {"return_regions": True} if kind == "regions" \
+                else {"return_features": True}
 
-        @functools.partial(jax.jit, static_argnames=())
-        def fwd(variables, pixels_u8):
-            x = pixels_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
-            return model.apply(variables, x, **apply_kwargs)
+            @jax.jit
+            def fwd(variables, pixels_u8):
+                x = pixels_u8.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
+                outs = []
+                for s in scales:
+                    xs = x
+                    if s != 1.0:
+                        B, H, W, C = x.shape
+                        nh, nw = max(int(H * s), 32), max(int(W * s), 32)
+                        xs = jax.image.resize(
+                            x, (B, nh, nw, C), "bilinear", antialias=False)
+                    r = model.apply(variables, xs, **apply_kwargs)
+                    if kind == "features":  # [B, h, w, C] -> [B, P, C]
+                        r = r.reshape(r.shape[0], -1, r.shape[-1])
+                    outs.append(r)
+                return jnp.concatenate(outs, axis=1)
+
+            self._structured_fwd[kind] = fwd
 
         out: list = [None] * len(images)
         for batch in make_batches(
             images, image_size=cfg.image_size, batch_size=cfg.batch_size,
-            bucket_multiple=1, bbxs=bbxs, upscale=cfg.upscale,
-            resize_filter=cfg.resize_filter,
+            bucket_multiple=1, bbxs=bbxs, squarify=cfg.squarify,
+            upscale=cfg.upscale, resize_filter=cfg.resize_filter,
         ):
             res = np.asarray(fwd(self.variables, jnp.asarray(batch.pixels_u8)))
             for row, ix in enumerate(batch.indices):
@@ -387,20 +407,20 @@ class Extractor:
         ``extract_regional_vectors``): a list of ``[R_i, D]`` arrays — each
         region base-pooled, L2-normalized, and whitened (when the model has
         a whiten FC), NOT summed. Requires a regional model. R_i depends on
-        each image's exact aspect (the R-MAC grid)."""
+        each image's exact aspect (the R-MAC grid) and, for multi-scale
+        configs, sums region counts over the scales."""
         if not self.model.regional:
             raise ValueError("extract_regional requires ModelConfig("
                              "regional=True)")
-        return self._extract_structured(images, bbxs,
-                                        {"return_regions": True})
+        return self._extract_structured(images, bbxs, "regions")
 
     def extract_local(self, images: Sequence, bbxs=None) -> list:
         """Per-image LOCAL features (cirtorch ``extract_local_vectors``): a
-        list of ``[h_i, w_i, C]`` arrays — every trunk spatial position's
-        activation, L2-normalized over channels. Input to local-aggregation
-        pipelines (ASMK-style)."""
-        return self._extract_structured(images, bbxs,
-                                        {"return_features": True})
+        list of ``[P_i, C]`` arrays — every trunk spatial position's
+        activation, L2-normalized over channels (positions flattened like
+        the reference; multi-scale configs concatenate positions across
+        scales). Input to local-aggregation pipelines (ASMK-style)."""
+        return self._extract_structured(images, bbxs, "features")
 
     def extract_resumable(
         self,

@@ -143,8 +143,13 @@ class RetrievalNet(nn.Module):
 
         if return_features:
             # cirtorch extract_local_vectors: every spatial position's
-            # trunk activation, L2-normalized over channels — [B, h, w, C]
-            return l2n(feats.astype(jnp.float32))
+            # trunk activation, L2-normalized over channels — [B, h, w, C].
+            # Padded positions (bucketed batches) are zeroed so they can't
+            # masquerade as real unit-norm features downstream.
+            f = l2n(feats.astype(jnp.float32))
+            if fmask is not None:
+                f = f * fmask[..., None].astype(f.dtype)
+            return f
 
         if return_regions and not self.regional:
             raise ValueError("return_regions requires regional=True")

@@ -38,6 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+    _put_global,
+)
+
 from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
     NEG_INF,
     IVFIndex,
@@ -154,10 +158,6 @@ class ShardedIVF:
             row_ids = np.concatenate(
                 [row_ids, np.zeros((pad, row_ids.shape[1]), np.int32)])
         sh = lambda *spec: NamedSharding(self.mesh, P(*spec))
-        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
-            _put_global,
-        )
-
         # _put_global, not device_put: on a multi-process pod device_put
         # cannot address other hosts' devices (ShardedIndex's contract)
         self.centroids = _put_global(cent, sh(axis, None))
@@ -167,10 +167,6 @@ class ShardedIVF:
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8
                ) -> Tuple[np.ndarray, np.ndarray]:
-        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
-            _put_global,
-        )
-
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         q = _put_global(q, NamedSharding(self.mesh, P()))
         C = self.centroids.shape[0]

@@ -34,6 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
+    _put_global,
+)
+
 from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
     merge_topk,
 )
@@ -114,10 +118,6 @@ class ShardedPQ:
         if pad:
             codes = np.concatenate(
                 [codes, np.zeros((pad, codes.shape[1]), codes.dtype)])
-        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
-            _put_global,
-        )
-
         # _put_global, not device_put: multi-process pods can't device_put
         # to other hosts' devices (ShardedIndex's contract)
         self.codes = _put_global(
@@ -137,10 +137,6 @@ class ShardedPQ:
         """Distributed ADC top-k; ``refine=R`` exact-rescoring of the
         top-R rows against the HOST f32 ``gallery`` (see module doc)."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
-        from image_retrieval_for_image_based_localization_tpu.parallel.sharded_index import (
-            _put_global,
-        )
-
         qr = q if self.rotation is None else q @ self.rotation
         qj = _put_global(qr, self._rep)
         k_eff = min(k, self.n)

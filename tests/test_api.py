@@ -325,8 +325,36 @@ def test_extract_local_vectors():
             rng.rand(32, 64, 3).astype(np.float32)]
     locs = ex.extract_local(imgs)
     assert len(locs) == 2
-    assert locs[0].shape == (2, 2, 512)  # 64px / 32 stride
-    assert locs[1].shape[0] == 1
+    assert locs[0].shape == (4, 512)  # (64/32)*(64/32) positions, flattened
+    assert locs[1].shape == (2, 512)
     for f in locs:
         norms = np.linalg.norm(f, axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_extract_regional_multiscale_concats_scales():
+    """Multi-scale regional vectors = concatenation of per-scale region
+    vectors; repeated calls reuse the cached jit program."""
+    import dataclasses
+
+    from irtpu.api import Extractor
+    from irtpu.utils.config import DEFAULT_SCALES, ExtractConfig, ModelConfig
+
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18", regional=True),
+                        image_size=64, batch_size=1, scales=DEFAULT_SCALES)
+    ex = Extractor(cfg)
+    rng = np.random.RandomState(9)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    regs = ex.extract_regional([img])[0]
+
+    per_scale = []
+    for s in sorted(DEFAULT_SCALES, reverse=True):
+        c1 = dataclasses.replace(cfg, scales=(s,))
+        per_scale.append(
+            Extractor(c1, variables=ex.variables).extract_regional([img])[0])
+    want = np.concatenate(per_scale, axis=0)
+    np.testing.assert_allclose(regs, want, rtol=1e-4, atol=1e-5)
+    # cached program: second call hits self._structured_fwd
+    assert len(ex._structured_fwd) == 1
+    ex.extract_regional([img])
+    assert len(ex._structured_fwd) == 1

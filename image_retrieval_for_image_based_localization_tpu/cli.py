@@ -177,6 +177,19 @@ def cmd_evaluate(argv):
                    help="graph neighbors per gallery item")
     p.add_argument("--diffusion-seeds", type=int, default=10,
                    help="seed matches per query")
+    p.add_argument("--ann", default=None, choices=["ivf", "pq"],
+                   help="evaluate from an APPROXIMATE top-K shortlist "
+                        "(honest mAP lower bound: missing positives count "
+                        "as never retrieved) — prices nprobe/M in mAP "
+                        "points on this corpus")
+    p.add_argument("--shortlist-k", type=int, default=100,
+                   help="ANN shortlist depth K for --ann")
+    p.add_argument("--ann-nprobe", type=int, default=8)
+    p.add_argument("--ann-clusters", type=int, default=None)
+    p.add_argument("--ann-m", type=int, default=None,
+                   help="PQ code bytes/row (default D/32)")
+    p.add_argument("--ann-refine", type=int, default=0)
+    p.add_argument("--ann-opq", type=int, default=0)
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--mesh", default=None, metavar="DxG",
@@ -247,6 +260,15 @@ def cmd_evaluate(argv):
         diffusion=args.diffusion,
         diffusion_kwargs={"k_graph": args.diffusion_k,
                           "k_seed": args.diffusion_seeds},
+        ann=args.ann,
+        ann_kwargs=(
+            {"nprobe": args.ann_nprobe, "n_clusters": args.ann_clusters}
+            if args.ann == "ivf" else
+            {"m": args.ann_m, "refine": args.ann_refine,
+             "opq_iters": args.ann_opq}
+            if args.ann == "pq" else None
+        ),
+        shortlist_k=args.shortlist_k,
     )
 
 

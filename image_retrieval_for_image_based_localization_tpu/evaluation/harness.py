@@ -43,6 +43,9 @@ def evaluate_dataset(
     qe_alpha: float = 3.0,
     diffusion: bool = False,
     diffusion_kwargs: Optional[Dict] = None,
+    ann: Optional[str] = None,
+    ann_kwargs: Optional[Dict] = None,
+    shortlist_k: int = 100,
 ) -> Dict:
     """Run the full eval pipeline on a TestDataset; returns the mAP results.
 
@@ -62,6 +65,9 @@ def evaluate_dataset(
     if diffusion and use_sharded_index:
         raise ValueError("diffusion re-ranking needs the dense ranking "
                          "path (full [N, Nq] relevance); drop --sharded")
+    if ann and (diffusion or qe_nqe or use_sharded_index):
+        raise ValueError("ann evaluation measures the plain approximate "
+                         "shortlist; drop --qe/--diffusion/--sharded")
     logger = logger or MetricsLogger()
     ex = extractor or Extractor(extract_cfg, variables=variables, mesh=mesh)
 
@@ -127,6 +133,43 @@ def evaluate_dataset(
         results = compute_map_streaming_and_print(
             dataset.name, ranks_all, dataset.gnd
         )
+        return {"results": results, "index": index, "db": db, "queries": qd}
+
+    if ann:
+        # ANN evaluation: mAP from the approximate top-K shortlist alone.
+        # compute_map's math makes a truncated [K, Nq] ranking the HONEST
+        # LOWER BOUND automatically — positives missing from the shortlist
+        # contribute zero precision mass (AP normalizes by total
+        # positives), junk entries shift out exactly as in the full path,
+        # and fill rows (-1) match nothing. Compare against the exact run
+        # to price nprobe/M in mAP points on YOUR corpus.
+        kw = dict(ann_kwargs or {})
+        k_short = min(shortlist_k, index.gallery.shape[0])
+        qt = np.asarray(index.transform_queries(qd))
+        with phase_timer("ann_shortlist", logger, items=dataset.nq):
+            if ann == "ivf":
+                from image_retrieval_for_image_based_localization_tpu.retrieval.ivf import (
+                    IVFIndex,
+                )
+
+                art = IVFIndex.build(index.gallery,
+                                     n_clusters=kw.pop("n_clusters", None))
+                _, idx = art.search(qt, k=k_short, **kw)
+            elif ann == "pq":
+                from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
+                    PQIndex,
+                )
+
+                refine = kw.pop("refine", 0)
+                art = PQIndex.build(index.gallery, m=kw.pop("m", None),
+                                    opq_iters=kw.pop("opq_iters", 0), **kw)
+                _, idx = art.search(
+                    qt, k=k_short, refine=refine,
+                    gallery=index.gallery if refine else None)
+            else:
+                raise ValueError(f"unknown ann mode {ann!r} (ivf|pq)")
+        results = compute_map_and_print(
+            f"{dataset.name} [ann={ann} K={k_short}]", idx.T, dataset.gnd)
         return {"results": results, "index": index, "db": db, "queries": qd}
 
     with phase_timer("rank", logger, items=dataset.nq):

@@ -61,3 +61,45 @@ def test_precision_at_k():
     _, _, pr, _ = compute_map(ranks, gnd, kappas=[1, 3])
     assert abs(pr[0] - 1.0) < 1e-9          # p@1 = 1
     assert abs(pr[1] - 2.0 / 3.0) < 1e-9     # p@3 = 2/3
+
+
+def test_ann_evaluation_shortlist_lower_bound(tmp_path):
+    """evaluate(ann=...): full-coverage shortlist (nprobe=C, K=N) equals
+    the exact mAP; a starved probe only lowers it (honest lower bound)."""
+    from irtpu.api import Extractor
+    from irtpu.data.test_datasets import configdataset, make_synthetic_dataset
+    from irtpu.evaluation.harness import evaluate_dataset
+    from irtpu.utils.config import ExtractConfig, IndexConfig, ModelConfig
+
+    make_synthetic_dataset(str(tmp_path), "annsynth", n_scenes=4,
+                           views_per_scene=4, n_distractors=6,
+                           image_hw=(48, 64))
+    ds = configdataset("annsynth", str(tmp_path))
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=64,
+                        batch_size=8)
+    ex = Extractor(cfg)
+    icfg = IndexConfig(whitening=None)
+
+    exact = evaluate_dataset(ds, cfg, icfg, extractor=ex)
+    full = evaluate_dataset(
+        ds, cfg, icfg, extractor=ex, ann="ivf",
+        ann_kwargs={"n_clusters": 4, "nprobe": 4}, shortlist_k=ds.n)
+    key = "medium" if "medium" in exact["results"] else None
+    get = (lambda r: r["results"][key]["map"]) if key else (
+        lambda r: r["results"]["map"])
+    np.testing.assert_allclose(get(full), get(exact), atol=1e-9)
+
+    starved = evaluate_dataset(
+        ds, cfg, icfg, extractor=ex, ann="ivf",
+        ann_kwargs={"n_clusters": 8, "nprobe": 1}, shortlist_k=5)
+    assert get(starved) <= get(exact) + 1e-9
+
+    # PQ path runs end-to-end too (full refine + K=N == exact)
+    pq_full = evaluate_dataset(
+        ds, cfg, icfg, extractor=ex, ann="pq",
+        ann_kwargs={"m": 8, "refine": ds.n}, shortlist_k=ds.n)
+    np.testing.assert_allclose(get(pq_full), get(exact), atol=1e-9)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ann evaluation"):
+        evaluate_dataset(ds, cfg, icfg, extractor=ex, ann="ivf", qe_nqe=3)

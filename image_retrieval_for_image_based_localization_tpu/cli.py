@@ -278,6 +278,10 @@ def cmd_train(argv):
     p.add_argument("--loss", default="contrastive", choices=["contrastive", "triplet"])
     p.add_argument("--margin", type=float, default=0.7)
     p.add_argument("--lr", type=float, default=1e-6)
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd"],
+                   help="reference train.py's --optimizer choice")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="SGD momentum (torch.optim semantics)")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--n-neg", type=int, default=5)
     p.add_argument("--batch-tuples", type=int, default=5)

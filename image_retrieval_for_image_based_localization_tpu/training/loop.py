@@ -211,6 +211,8 @@ def run_training(args) -> dict:
     cfg = TrainConfig(
         loss=args.loss, margin=args.margin, lr=args.lr, n_neg=args.n_neg,
         batch_tuples=args.batch_tuples, steps_per_epoch=steps_per_epoch,
+        optimizer=getattr(args, "optimizer", "adam"),
+        momentum=getattr(args, "momentum", 0.9),
         remat=getattr(args, "remat", False),
     )
     state, tx = create_train_state(model, jax.random.PRNGKey(0), cfg=cfg)

@@ -46,6 +46,10 @@ class TrainConfig:
     # true per-epoch step count the schedule matches the reference instead
     # of collapsing by orders of magnitude within one epoch
     weight_decay: float = 1e-6
+    optimizer: str = "adam"        # 'adam' | 'sgd' (reference train.py's
+    # --optimizer choice; SGD uses torch-style momentum: wd folds into the
+    # gradient BEFORE the momentum trace)
+    momentum: float = 0.9
     n_neg: int = 5
     batch_tuples: int = 5          # tuples per step
     # rematerialize trunk activations in backward (jax.checkpoint): trades
@@ -62,6 +66,29 @@ class TrainState:
     step: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """The reference train.py's optimizer choice: Adam (fine-tuning
+    default) or SGD with momentum, both with L2 weight decay folded into
+    the gradient before the core transform (torch.optim semantics) and
+    the exponential per-epoch lr schedule."""
+    spe = max(int(cfg.steps_per_epoch), 1)
+    if cfg.optimizer == "adam":
+        core = optax.scale_by_adam()
+    elif cfg.optimizer == "sgd":
+        # torch.optim.SGD momentum: buf = momentum*buf + grad; update = buf
+        core = optax.trace(decay=cfg.momentum, nesterov=False)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r} (adam|sgd)")
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        core,
+        optax.scale_by_schedule(
+            lambda step: -cfg.lr
+            * (cfg.lr_decay ** jnp.floor(step.astype(jnp.float32) / spe))
+        ),
+    )
+
+
 def create_train_state(
     model: RetrievalNet,
     rng: jax.Array,
@@ -71,15 +98,7 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     if variables is None:
         variables = model.init(rng, jnp.zeros((1, *input_shape), jnp.float32))
-    spe = max(int(cfg.steps_per_epoch), 1)
-    tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.scale_by_adam(),
-        optax.scale_by_schedule(
-            lambda step: -cfg.lr
-            * (cfg.lr_decay ** jnp.floor(step.astype(jnp.float32) / spe))
-        ),
-    )
+    tx = make_optimizer(cfg)
     params = variables["params"]
     return (
         TrainState(

@@ -364,3 +364,50 @@ def test_run_training_resume(tmp_path):
     assert resumed and resumed[0]["start_epoch"] == 1
     epochs_logged = [l["epoch"] for l in lines if "epoch" in l and "train_loss" in l]
     assert epochs_logged.count(1) == 1  # epoch 1 ran exactly once post-resume
+
+
+def test_sgd_optimizer_matches_torch_semantics():
+    """make_optimizer('sgd') == torch.optim.SGD(momentum, weight_decay):
+    wd folds into the gradient BEFORE the momentum trace; verified on a
+    synthetic two-step trajectory against the hand-computed update."""
+    import optax
+
+    from irtpu.training.trainer import TrainConfig, make_optimizer
+
+    cfg = TrainConfig(optimizer="sgd", momentum=0.9, weight_decay=0.01,
+                      lr=0.1, lr_decay=1.0)
+    tx = make_optimizer(cfg)
+    p = {"w": jnp.asarray([1.0, -2.0], jnp.float32)}
+    st = tx.init(p)
+    buf = np.zeros(2, np.float32)
+    w = np.array([1.0, -2.0], np.float32)
+    for step, g in enumerate([np.array([0.5, 0.25], np.float32),
+                              np.array([-0.1, 0.3], np.float32)]):
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, p)
+        p = optax.apply_updates(p, upd)
+        geff = g + 0.01 * w          # wd into grad first
+        buf = 0.9 * buf + geff       # torch momentum buffer
+        w = w - 0.1 * buf
+        np.testing.assert_allclose(np.asarray(p["w"]), w, rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_sgd_train_step_runs():
+    from irtpu.models.retrieval_net import RetrievalNet
+    from irtpu.training.trainer import (
+        TrainConfig, create_train_state, make_train_step,
+    )
+
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    cfg = TrainConfig(optimizer="sgd", n_neg=1, batch_tuples=2, lr=1e-3)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(48, 48, 3), cfg=cfg)
+    step = make_train_step(model, tx, cfg)
+    rng = np.random.RandomState(0)
+    px = jnp.asarray(rng.rand(2, 3, 48, 48, 3).astype(np.float32))
+    lb = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+    w0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    state, loss = step(state, px, lb)
+    assert np.isfinite(float(loss))
+    w1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.array_equal(w0, w1)

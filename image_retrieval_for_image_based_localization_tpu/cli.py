@@ -282,6 +282,10 @@ def cmd_train(argv):
                    help="reference train.py's --optimizer choice")
     p.add_argument("--momentum", type=float, default=0.9,
                    help="SGD momentum (torch.optim semantics)")
+    p.add_argument("--update-every", type=int, default=1,
+                   help="gradient accumulation: apply the optimizer every "
+                        "k-th tuple batch (reference --update-every; "
+                        "gradients are AVERAGED across the k batches)")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--n-neg", type=int, default=5)
     p.add_argument("--batch-tuples", type=int, default=5)

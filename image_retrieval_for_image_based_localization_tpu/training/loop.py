@@ -207,12 +207,16 @@ def run_training(args) -> dict:
     qsize = getattr(args, "qsize", None)
     poolsize = getattr(args, "poolsize", None)
     epoch_pairs = min(qsize, len(qidxs)) if qsize else len(qidxs)
-    steps_per_epoch = max(epoch_pairs // args.batch_tuples, 1)
+    update_every = max(getattr(args, "update_every", 1), 1)
+    # lr decays per APPLIED optimizer step (MultiSteps under accumulation)
+    steps_per_epoch = max(
+        epoch_pairs // (args.batch_tuples * update_every), 1)
     cfg = TrainConfig(
         loss=args.loss, margin=args.margin, lr=args.lr, n_neg=args.n_neg,
         batch_tuples=args.batch_tuples, steps_per_epoch=steps_per_epoch,
         optimizer=getattr(args, "optimizer", "adam"),
         momentum=getattr(args, "momentum", 0.9),
+        update_every=update_every,
         remat=getattr(args, "remat", False),
     )
     state, tx = create_train_state(model, jax.random.PRNGKey(0), cfg=cfg)

@@ -50,6 +50,11 @@ class TrainConfig:
     # --optimizer choice; SGD uses torch-style momentum: wd folds into the
     # gradient BEFORE the momentum trace)
     momentum: float = 0.9
+    update_every: int = 1          # gradient accumulation (reference
+    # --update-every): apply the optimizer every k-th micro-batch. optax
+    # MultiSteps AVERAGES the accumulated gradients where the reference
+    # SUMS them — equivalent up to lr*k; documented deviation (mean keeps
+    # lr meaning independent of k)
     n_neg: int = 5
     batch_tuples: int = 5          # tuples per step
     # rematerialize trunk activations in backward (jax.checkpoint): trades
@@ -79,7 +84,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         core = optax.trace(decay=cfg.momentum, nesterov=False)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r} (adam|sgd)")
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         core,
         optax.scale_by_schedule(
@@ -87,6 +92,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             * (cfg.lr_decay ** jnp.floor(step.astype(jnp.float32) / spe))
         ),
     )
+    if cfg.update_every > 1:
+        # gradient accumulation: params move only on every k-th
+        # micro-batch; the schedule's step counter advances per APPLIED
+        # step, so steps_per_epoch must be given in applied steps
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.update_every)
+    return tx
 
 
 def create_train_state(

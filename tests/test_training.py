@@ -411,3 +411,34 @@ def test_sgd_train_step_runs():
     assert np.isfinite(float(loss))
     w1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert not np.array_equal(w0, w1)
+
+
+def test_gradient_accumulation_update_every():
+    """update_every=k: params move only on the k-th micro-batch, and with
+    identical micro-grads the applied update equals one un-accumulated
+    step (MultiSteps averages)."""
+    import optax
+
+    from irtpu.training.trainer import TrainConfig, make_optimizer
+
+    base = TrainConfig(optimizer="sgd", momentum=0.0, weight_decay=0.0,
+                       lr=0.1, lr_decay=1.0)
+    acc = TrainConfig(optimizer="sgd", momentum=0.0, weight_decay=0.0,
+                      lr=0.1, lr_decay=1.0, update_every=2)
+    g = {"w": jnp.asarray([1.0, 2.0], jnp.float32)}
+    p0 = {"w": jnp.asarray([0.0, 0.0], jnp.float32)}
+
+    tx1 = make_optimizer(base)
+    st1 = tx1.init(p0)
+    u1, _ = tx1.update(g, st1, p0)
+    ref = optax.apply_updates(p0, u1)
+
+    tx2 = make_optimizer(acc)
+    st2 = tx2.init(p0)
+    ua, st2 = tx2.update(g, st2, p0)
+    mid = optax.apply_updates(p0, ua)
+    np.testing.assert_array_equal(np.asarray(mid["w"]), 0.0)  # no move yet
+    ub, st2 = tx2.update(g, st2, p0)
+    fin = optax.apply_updates(p0, ub)
+    np.testing.assert_allclose(np.asarray(fin["w"]), np.asarray(ref["w"]),
+                               rtol=1e-6)

@@ -15,10 +15,13 @@ Scoring is ADC (asymmetric distance computation) shaped for the TPU:
   ``LUT[q, m, v] = <q_m, codebook[m, v]>`` — ``[nq, M, 256]`` f32 lives
   comfortably on device (nq=256, M=64 -> 16 MB);
 * the gallery pass streams code blocks ``[chunk, M]`` (uint8 — the whole
-  HBM read) and reduces ``score[q, row] = sum_m LUT[q, m, code[row, m]]``
-  as a vectorized take-along + sum, fused by XLA; the running top-k merge
-  is the exact same scan/blockmax/merge machinery as ``knn.streaming_topk``
-  so the deterministic (score desc, row asc) tie contract carries over;
+  HBM read) and reduces ``score[q, row] = sum_m LUT[q, m, code[row, m]]``;
+  two backends score a block: the XLA gather (take-along + sum, exact
+  f32) and — on TPU, when the batch shape wins — the Pallas one-hot MXU
+  matmul (``ops.pallas.adc_mxu``; 2.7x on hardware, bf16x2 near-f32).
+  The running top-k merge is the exact same scan/blockmax/merge machinery
+  as ``knn.streaming_topk`` so the deterministic (score desc, row asc)
+  tie contract carries over;
 * inner-product semantics: codebooks are trained with k-means on the
   subvectors (min L2 reconstruction), and ``<q, x_hat> = sum_m <q_m,
   c_m[code]>`` exactly — ADC is exact scoring OF THE RECONSTRUCTION; the
@@ -54,6 +57,7 @@ from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
     blockmax_topk,
     merge_topk,
 )
+from image_retrieval_for_image_based_localization_tpu.ops.pallas import adc_mxu
 
 
 def _train_codebooks(
@@ -172,6 +176,15 @@ def _adc_block(lut: jnp.ndarray, codes_block: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(g, axis=1)                            # [nq, c]
 
 
+def _resolve_adc_backend(backend: str, nq: int, n: int, m: int, v: int) -> str:
+    """'auto' -> 'mxu' on TPU where the one-hot matmul wins, else 'gather'."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() != "tpu" or v != 256:
+        return "gather"
+    return adc_mxu.recommend_backend(nq, n, m)
+
+
 def adc_topk_core(
     lut: jnp.ndarray,     # [nq, M, 256] f32
     codes: jnp.ndarray,   # [N, M] uint8
@@ -179,19 +192,49 @@ def adc_topk_core(
     chunk: int,
     n_valid=None,         # traced-ok: rows >= n_valid score NEG_INF
     index_offset=0,       # traced-ok: global row id of local row 0
+    backend: str = "auto",  # 'gather' | 'mxu' | 'auto' (static under jit)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming ADC top-k over a code matrix (knn.streaming_topk shape).
 
     shard_map-safe: ``n_valid``/``index_offset`` may be traced values, so
     a gallery-axis shard can mask its pad rows and emit GLOBAL row ids
     (mirrors ``knn.streaming_topk``'s contract for ``sharded_knn``).
+
+    ``backend='mxu'`` scores blocks with the Pallas one-hot matmul
+    (``ops.pallas.adc_mxu`` — 2.7x on hardware at the bench point,
+    bf16x2 near-f32: rel ~3e-6, so near-tie rows MAY order differently
+    than the f32 gather; the (score desc, row asc) tie contract itself
+    is unchanged).  'auto' picks it on TPU when the batch shape wins.
+    Scoring is per-row, so shard results stay identical to single-device
+    runs as long as both use the same backend.
     """
     N, M = codes.shape
     nq = lut.shape[0]
+    backend = _resolve_adc_backend(backend, nq, N, M, lut.shape[2])
     if n_valid is None:
         n_valid = N
     k = min(k, N)                      # a shard can't supply more rows
     chunk = min(max(chunk, k), N)      # blockmax needs k <= block width
+    if backend == "mxu":
+        # chunks feed the kernel whole: round to its 512-row grid step
+        br = adc_mxu.BLOCK_ROWS
+        chunk = -(-chunk // br) * br
+        hi, lo = adc_mxu.prepare_lut_tables(lut)
+        # Widen codes BEFORE the scan: dynamic-slicing uint8 blocks out of
+        # the scanned operand costs a (8,128)->(32,128)-tile repack per
+        # step (+33 ms at the bench point, measured); i32 blocks slice
+        # clean and the kernel's in-kernel cast becomes a no-op.  4x the
+        # HBM read (25.6 MB at N=100k/M=64) is cheap next to that.
+        codes = codes.astype(jnp.int32)
+        interp = jax.default_backend() != "tpu"   # CPU tests run interpret
+
+        def score_block(block):                    # [chunk, M] -> [nq, chunk]
+            s = adc_mxu.adc_scores_mxu(block, hi, lo, interpret=interp)
+            return s[:, :nq].T
+    else:
+        def score_block(block):
+            return _adc_block(lut, block)
+
     nchunks = -(-N // chunk)
     pad = nchunks * chunk - N
     if pad:
@@ -207,7 +250,7 @@ def adc_topk_core(
     def body(carry, inp):
         cur_s, cur_i = carry
         block, cstart = inp
-        s = _adc_block(lut, block)
+        s = score_block(block)
         lidx = cstart + jax.lax.broadcasted_iota(jnp.int32, (nq, chunk), 1)
         s = jnp.where(lidx < n_valid, s, NEG_INF)
         cs, cpos = blockmax_topk(s, k)
@@ -219,16 +262,17 @@ def adc_topk_core(
     return scores, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "backend"))
 def _adc_search(
     codebooks: jnp.ndarray,
     codes: jnp.ndarray,   # [N, M] uint8
     q: jnp.ndarray,       # [nq, D] f32
     k: int,
     chunk: int,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     lut = _build_luts(codebooks, q)
-    return adc_topk_core(lut, codes, k=k, chunk=chunk)
+    return adc_topk_core(lut, codes, k=k, chunk=chunk, backend=backend)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -340,6 +384,7 @@ class PQIndex:
         chunk: int = 65536,
         refine: int = 0,
         gallery: Optional[np.ndarray] = None,
+        backend: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """ADC top-k: ``(scores [nq,k], gallery rows [nq,k])``.
 
@@ -348,6 +393,10 @@ class PQIndex:
         returned are then TRUE inner products, and ranking equals exact
         search whenever the true top-k survives the ADC cut (recall@R
         corridor pinned in tests).
+
+        ``backend`` ('auto'|'gather'|'mxu') picks the ADC scoring path;
+        'auto' uses the Pallas one-hot MXU kernel on TPU when the batch
+        shape wins (see ``ops.pallas.adc_mxu``).
         """
         books, codes = self._device()
         q = np.atleast_2d(np.asarray(queries, np.float32))
@@ -361,12 +410,12 @@ class PQIndex:
                 raise ValueError("refine requires the f32 gallery")
             R = min(max(refine, k_eff), self.n)
             _, cand = _adc_search(books, codes, jnp.asarray(q_adc), k=R,
-                                  chunk=min(chunk, self.n))
+                                  chunk=min(chunk, self.n), backend=backend)
             s, i = _exact_rescore(jnp.asarray(gallery), jnp.asarray(q),
                                   cand, k=k_eff)
         else:
             s, i = _adc_search(books, codes, jnp.asarray(q_adc), k=k_eff,
-                               chunk=min(chunk, self.n))
+                               chunk=min(chunk, self.n), backend=backend)
         return np.asarray(s), np.asarray(i)
 
     # -- persistence ---------------------------------------------------------

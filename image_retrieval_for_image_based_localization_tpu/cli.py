@@ -184,6 +184,10 @@ def cmd_evaluate(argv):
                         "points on this corpus")
     p.add_argument("--shortlist-k", type=int, default=100,
                    help="ANN shortlist depth K for --ann")
+    p.add_argument("--recall-ks", default=None, metavar="K1,K2,...",
+                   help="also report localization recall@k (fraction of "
+                        "queries with a correct db image in the top-k "
+                        "shortlist) at these depths, e.g. 1,5,10,20")
     p.add_argument("--ann-nprobe", type=int, default=8)
     p.add_argument("--ann-clusters", type=int, default=None)
     p.add_argument("--ann-m", type=int, default=None,
@@ -269,6 +273,8 @@ def cmd_evaluate(argv):
             if args.ann == "pq" else None
         ),
         shortlist_k=args.shortlist_k,
+        recall_ks=(None if args.recall_ks is None else
+                   [int(v) for v in args.recall_ks.split(",") if v]),
     )
 
 

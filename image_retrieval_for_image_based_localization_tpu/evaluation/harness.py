@@ -5,7 +5,7 @@ query bbx crops), learn/apply whitening, rank, compute mAP per protocol.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +28,39 @@ from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
 )
 
 
+
+def _log_recall(logger, dataset, recall_ks, *, ranks_all=None,
+                shortlist=None, ranks=None):
+    """Localization recall@k from whichever ranking artifact the path has:
+    candidate-rank matrix [Nq, C], shortlist [Nq, K], or dense [N, Nq]."""
+    if not recall_ks:
+        return None
+    from image_retrieval_for_image_based_localization_tpu.localization import (
+        localization_recall,
+        localization_recall_from_ranks,
+    )
+
+    if ranks_all is not None:
+        rec = localization_recall_from_ranks(ranks_all, dataset.gnd,
+                                             ks=recall_ks)
+    elif shortlist is not None:
+        ks = [k for k in recall_ks if k <= shortlist.shape[1]]
+        if not ks:
+            return None
+        rec = localization_recall(shortlist, dataset.gnd, ks=ks)
+    else:
+        kmax = min(max(recall_ks), ranks.shape[0])
+        rec = localization_recall(
+            ranks[:kmax].T, dataset.gnd,
+            ks=[k for k in recall_ks if k <= kmax])
+    pretty = {f"r@{k}": round(v * 100, 2) for k, v in rec["recall"].items()}
+    print(f">> {dataset.name}: localization recall {pretty}")
+    logger.log(event="localization_recall", dataset=dataset.name,
+               n_queries=rec["n_queries"],
+               **{f"r_at_{k}": v for k, v in rec["recall"].items()})
+    return rec
+
+
 def evaluate_dataset(
     dataset: TestDataset,
     extract_cfg: ExtractConfig,
@@ -46,6 +79,7 @@ def evaluate_dataset(
     ann: Optional[str] = None,
     ann_kwargs: Optional[Dict] = None,
     shortlist_k: int = 100,
+    recall_ks: Optional[Sequence[int]] = None,
 ) -> Dict:
     """Run the full eval pipeline on a TestDataset; returns the mAP results.
 
@@ -56,6 +90,11 @@ def evaluate_dataset(
     ``qe_nqe > 0`` enables αQE query expansion before ranking
     (``retrieval.query_expansion``) on every ranking path — a beyond-
     reference mAP booster.
+
+    ``recall_ks`` additionally reports localization recall@k (fraction of
+    queries whose top-k shortlist contains a correct database image —
+    ``localization.localization_recall``) on every ranking path, including
+    the streaming/sharded ones (derived from candidate ranks there).
 
     ``diffusion=True`` re-ranks by kNN-graph diffusion
     (``retrieval.diffusion``; dense ranking path only — it produces a
@@ -110,7 +149,9 @@ def evaluate_dataset(
         results = compute_map_streaming_and_print(
             dataset.name, ranks_all, dataset.gnd
         )
-        return {"results": results, "index": index, "db": db, "queries": qd}
+        rec = _log_recall(logger, dataset, recall_ks, ranks_all=ranks_all)
+        return {"results": results, "index": index, "db": db, "queries": qd,
+                "recall": rec}
 
     if index.gallery.shape[0] > dense_rank_limit and not diffusion:
         # large gallery, single device: the full [Ng, Nq] host rank matrix
@@ -133,7 +174,9 @@ def evaluate_dataset(
         results = compute_map_streaming_and_print(
             dataset.name, ranks_all, dataset.gnd
         )
-        return {"results": results, "index": index, "db": db, "queries": qd}
+        rec = _log_recall(logger, dataset, recall_ks, ranks_all=ranks_all)
+        return {"results": results, "index": index, "db": db, "queries": qd,
+                "recall": rec}
 
     if ann:
         # ANN evaluation: mAP from the approximate top-K shortlist alone.
@@ -170,7 +213,9 @@ def evaluate_dataset(
                 raise ValueError(f"unknown ann mode {ann!r} (ivf|pq)")
         results = compute_map_and_print(
             f"{dataset.name} [ann={ann} K={k_short}]", idx.T, dataset.gnd)
-        return {"results": results, "index": index, "db": db, "queries": qd}
+        rec = _log_recall(logger, dataset, recall_ks, shortlist=idx)
+        return {"results": results, "index": index, "db": db, "queries": qd,
+                "recall": rec}
 
     with phase_timer("rank", logger, items=dataset.nq):
         if diffusion:
@@ -182,4 +227,6 @@ def evaluate_dataset(
             ranks = index.ranks(qd, qe_nqe=qe_nqe, qe_alpha=qe_alpha)
 
     results = compute_map_and_print(dataset.name, ranks, dataset.gnd)
-    return {"results": results, "index": index, "db": db, "queries": qd}
+    rec = _log_recall(logger, dataset, recall_ks, ranks=np.asarray(ranks))
+    return {"results": results, "index": index, "db": db, "queries": qd,
+            "recall": rec}

@@ -145,6 +145,39 @@ def test_extract_vectors_alias():
     assert d1.shape == (2, 512)
 
 
+def test_localization_recall():
+    """recall@k of a shortlist under revisited + classic gnd contracts."""
+    from irtpu.localization import localization_recall
+
+    # q0: first positive at rank 0; q1: first positive (hard) at rank 4;
+    # q2: no medium positives (excluded); q3: classic gnd, positive at rank 9
+    shortlist = np.array([
+        [7, 1, 2, 3, 4, 5, 6, 0, 8, 9],
+        [1, 2, 3, 4, 7, 5, 6, 0, 8, 9],
+        [1, 2, 3, 4, 5, 6, 0, 8, 9, 7],
+        [1, 2, 3, 4, 5, 6, 0, 8, 9, 7],
+    ])
+    gnd = [
+        {"easy": [7], "hard": [], "junk": [1]},
+        {"easy": [], "hard": [7], "junk": []},
+        {"easy": [], "hard": [], "junk": [2]},
+        {"ok": [7], "junk": []},
+    ]
+    r = localization_recall(shortlist, gnd, ks=(1, 5, 10))
+    assert r["n_queries"] == 3
+    assert r["recall"][1] == pytest.approx(1 / 3)
+    assert r["recall"][5] == pytest.approx(2 / 3)
+    assert r["recall"][10] == pytest.approx(1.0)
+    # easy protocol: q1's hard positive no longer counts, q1 stays scored
+    # as a miss only if it has easy positives -> it has none, so excluded
+    r_easy = localization_recall(shortlist, gnd, ks=(1,), protocol="easy")
+    assert r_easy["n_queries"] == 2
+    assert r_easy["recall"][1] == pytest.approx(1 / 2)
+    # shortlist shallower than max(ks) is an error, not a silent clamp
+    with pytest.raises(ValueError):
+        localization_recall(shortlist[:, :5], gnd, ks=(10,))
+
+
 def test_localization_pairs_output(tmp_path):
     from irtpu.localization import localize_shortlist
 

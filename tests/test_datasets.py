@@ -68,9 +68,15 @@ def test_harness_sharded_matches_dense(tmp_path):
         model=ModelConfig(arch="resnet18", pooling="gem"),
         image_size=80, batch_size=4,
     )
-    out1 = evaluate_dataset(ds, cfg, IndexConfig(whitening=None))
+    out1 = evaluate_dataset(ds, cfg, IndexConfig(whitening=None),
+                            recall_ks=(1, 5))
     out2 = evaluate_dataset(
         ds, cfg, IndexConfig(whitening=None),
         mesh=create_mesh([1, 8]), use_sharded_index=True,
+        recall_ks=(1, 5),
     )
     assert abs(out1["results"]["medium"]["map"] - out2["results"]["medium"]["map"]) < 1e-9
+    # localization recall@k: the dense-shortlist and streaming
+    # candidate-rank derivations must agree exactly on the same ranking
+    assert out1["recall"]["recall"] == out2["recall"]["recall"]
+    assert out1["recall"]["n_queries"] == out2["recall"]["n_queries"] > 0

@@ -80,14 +80,17 @@ def test_ann_evaluation_shortlist_lower_bound(tmp_path):
     ex = Extractor(cfg)
     icfg = IndexConfig(whitening=None)
 
-    exact = evaluate_dataset(ds, cfg, icfg, extractor=ex)
+    exact = evaluate_dataset(ds, cfg, icfg, extractor=ex, recall_ks=(1, 5))
     full = evaluate_dataset(
         ds, cfg, icfg, extractor=ex, ann="ivf",
-        ann_kwargs={"n_clusters": 4, "nprobe": 4}, shortlist_k=ds.n)
+        ann_kwargs={"n_clusters": 4, "nprobe": 4}, shortlist_k=ds.n,
+        recall_ks=(1, 5))
     key = "medium" if "medium" in exact["results"] else None
     get = (lambda r: r["results"][key]["map"]) if key else (
         lambda r: r["results"]["map"])
     np.testing.assert_allclose(get(full), get(exact), atol=1e-9)
+    # full-coverage ANN shortlist: recall@k equals the exact path's
+    assert full["recall"]["recall"] == exact["recall"]["recall"]
 
     starved = evaluate_dataset(
         ds, cfg, icfg, extractor=ex, ann="ivf",

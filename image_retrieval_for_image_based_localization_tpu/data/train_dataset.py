@@ -80,49 +80,29 @@ class TuplesDataset:
         n_neg: int = 5,
         qsize: Optional[int] = 2000,
         poolsize: Optional[int] = 20000,
-        rng: Optional[np.random.RandomState] = None,
+        seed: int = 0,
     ):
         """Re-mine hard negatives with the current model (reference
-        ``create_epoch_tuples``): sample queries, extract pool descriptors,
-        device top-k, cluster-excluded hardest negatives.
-
-        Returns (TupleSet, pool_indices_used) — negative indices in the
-        TupleSet refer to the FULL image list (global indices).
+        ``create_epoch_tuples``): sample queries + negative pool, extract
+        descriptors for only the sampled union, device top-k,
+        cluster-excluded hardest negatives. Thin dataset-level front to
+        ``training.mining.mine_epoch_tuples`` (the single mining
+        implementation — ``training.loop`` calls it directly); all indices
+        in the returned TupleSet are global image-list indices. Seed with
+        the epoch number to re-sample per epoch (reference semantics).
         """
         from image_retrieval_for_image_based_localization_tpu.training.mining import (
-            mine_hard_negatives,
+            mine_epoch_tuples,
         )
 
-        rng = rng or np.random.RandomState(0)
-        order = rng.permutation(len(self.qidxs))
-        if qsize is not None:
-            order = order[:qsize]
-        qidxs = self.qidxs[order]
-        pidxs = self.pidxs[order]
-
-        # negative pool: random subset of all images (reference semantics)
-        n_imgs = len(self.paths)
-        if poolsize is not None and poolsize < n_imgs:
-            pool = rng.permutation(n_imgs)[:poolsize]
-        else:
-            pool = np.arange(n_imgs)
-        # queries must be in the pool for mining's self-exclusion
-        pool = np.unique(np.concatenate([pool, qidxs, pidxs]))
-
-        pool_paths = [self.paths[i] for i in pool]
-        pool_vecs = extractor.extract(pool_paths)
-
-        # map global -> pool-local
-        g2l = {g: l for l, g in enumerate(pool)}
-        ts = mine_hard_negatives(
-            pool_vecs,
-            [g2l[q] for q in qidxs],
-            [g2l[p] for p in pidxs],
-            clusters=self.clusters[pool],
+        return mine_epoch_tuples(
+            extractor.extract,
+            self.paths,
+            self.qidxs,
+            self.pidxs,
+            clusters=self.clusters,
             n_neg=n_neg,
+            seed=seed,
+            qsize=qsize,
+            poolsize=poolsize,
         )
-        # translate back to global indices
-        ts.qidxs = pool[ts.qidxs]
-        ts.pidxs = pool[ts.pidxs]
-        ts.nidxs = pool[ts.nidxs]
-        return ts

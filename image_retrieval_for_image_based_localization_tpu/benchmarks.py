@@ -588,3 +588,107 @@ def run_serving_bench(
     for mode, row in out.items():
         logger.log(event="serving_bench", mode=mode, n=n, d=d, **row)
     return out
+
+
+def run_training_bench(
+    arch: str = "resnet50",
+    pooling: str = "gem",
+    image_size: int = 362,
+    batch_tuples: int = 5,
+    n_neg: int = 5,
+    loss: str = "contrastive",
+    remat: bool = False,
+    dtype: str = "float32",
+    reps: int = 10,
+    warmup: int = 2,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Training-step throughput: tuples/sec and images/sec through the
+    production fused train step (forward + backward + optimizer update).
+
+    Exercises exactly ``training.loop.run_training``'s hot path — the
+    ``from_u8=True`` step (on-device normalize + validity mask from (h, w)
+    extents, mask-aware pooling, contrastive/triplet loss, Adam update) on
+    a synthetic tuple batch at the reference's training geometry (cirtorch
+    ``train.py`` defaults: image-size 362, 5 negatives, tuples of
+    2+n_neg images; SURVEY.md §3.2).
+
+    Methodology matches the extraction headline (PERF.md): the batch is
+    device-resident before the timed loop (host->device transfer through
+    this rig's relay is measured separately by ``run_full_system_bench``;
+    a real host overlaps it via the prefetch thread), the first
+    ``warmup`` steps absorb compile, and each timed step fetches the loss
+    scalar to host to force completion (``block_until_ready`` does not
+    wait through the tunnel relay).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from image_retrieval_for_image_based_localization_tpu.models.retrieval_net import (
+        RetrievalNet,
+    )
+    from image_retrieval_for_image_based_localization_tpu.training.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    model = RetrievalNet(
+        arch=arch, pooling=pooling,
+        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
+    )
+    cfg = TrainConfig(
+        loss=loss, n_neg=n_neg, batch_tuples=batch_tuples, remat=remat
+    )
+    state, tx = create_train_state(model, jax.random.PRNGKey(seed), cfg=cfg)
+    step = make_train_step(model, tx, cfg, from_u8=True)
+
+    T = 2 + n_neg
+    H = W = int(image_size)
+    rng = np.random.RandomState(seed)
+    px = jax.device_put(
+        jnp.asarray(rng.randint(0, 256, (batch_tuples, T, H, W, 3)), jnp.uint8)
+    )
+    # full-frame extents: every pixel valid (training buckets are tight)
+    sizes = jax.device_put(
+        jnp.broadcast_to(
+            jnp.asarray([H, W], jnp.int32), (batch_tuples, T, 2)
+        ).copy()
+    )
+    labels = np.zeros((batch_tuples, T), np.int32)
+    labels[:, 1] = 1
+    labels[:, 2:] = -1
+    labels = jax.device_put(jnp.asarray(labels))
+
+    for _ in range(max(warmup, 1)):
+        state, lv = step(state, px, sizes, labels)
+        float(lv)  # force completion through the relay
+
+    lat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, lv = step(state, px, sizes, labels)
+        loss_val = float(lv)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    med = float(np.median(lat))
+    out = {
+        "tuples_per_sec": round(batch_tuples / med, 2),
+        "images_per_sec": round(batch_tuples * T / med, 2),
+        "step_ms_median": round(med * 1e3, 2),
+        "loss": round(loss_val, 6),
+        "arch": arch,
+        "pooling": pooling,
+        "image_size": image_size,
+        "batch_tuples": batch_tuples,
+        "n_neg": n_neg,
+        "remat": bool(remat),
+        "dtype": dtype,
+        "reps": reps,
+    }
+    pct = _latency_percentiles(lat)
+    out.update({k.replace("_s", "_ms"): round(v * 1e3, 2)
+                for k, v in pct.items()})
+    logger = MetricsLogger(echo=False)
+    logger.log(event="training_bench", **out)
+    return out

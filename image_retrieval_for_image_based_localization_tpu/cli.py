@@ -286,6 +286,10 @@ def cmd_train(argv):
     p.add_argument("--lr", type=float, default=1e-6)
     p.add_argument("--optimizer", default="adam", choices=["adam", "sgd"],
                    help="reference train.py's --optimizer choice")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="trunk compute dtype; bfloat16 = TPU mixed "
+                        "precision (params/optimizer stay f32)")
     p.add_argument("--momentum", type=float, default=0.9,
                    help="SGD momentum (torch.optim semantics)")
     p.add_argument("--update-every", type=int, default=1,
@@ -822,12 +826,46 @@ def cmd_bench_serve(argv):
     print(f"micro-batching qps ratio: {out['speedup']['qps_ratio']}x")
 
 
+def cmd_bench_train(argv):
+    """Training-step throughput (tuples/sec, images/sec) through the
+    production fused train step at reference training geometry."""
+    p = argparse.ArgumentParser(prog="bench-train")
+    p.add_argument("--arch", default="resnet50")
+    p.add_argument("--pooling", default="gem")
+    p.add_argument("--image-size", type=int, default=362)
+    p.add_argument("--batch-tuples", type=int, default=5)
+    p.add_argument("--n-neg", type=int, default=5)
+    p.add_argument("--loss", default="contrastive",
+                   choices=("contrastive", "triplet"))
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--reps", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from image_retrieval_for_image_based_localization_tpu.benchmarks import (
+        run_training_bench,
+    )
+
+    out = run_training_bench(
+        arch=args.arch, pooling=args.pooling, image_size=args.image_size,
+        batch_tuples=args.batch_tuples, n_neg=args.n_neg, loss=args.loss,
+        remat=args.remat, dtype=args.dtype, reps=args.reps)
+    print(f"{out['arch']}+{out['pooling']} @{out['image_size']}px "
+          f"b{out['batch_tuples']}x{2 + out['n_neg']} remat={out['remat']} "
+          f"dtype={out['dtype']}")
+    print(f"tuples/s={out['tuples_per_sec']:.2f}  "
+          f"images/s={out['images_per_sec']:.2f}  "
+          f"step p50={out['lat_p50_ms']:.1f}ms p95={out['lat_p95_ms']:.1f}ms")
+
+
 COMMANDS = {
     "download": cmd_download,
     "extract": cmd_extract,
     "fullsystem": cmd_fullsystem,
     "bench-ann": cmd_bench_ann,
     "bench-serve": cmd_bench_serve,
+    "bench-train": cmd_bench_train,
     "evaluate": cmd_evaluate,
     "train": cmd_train,
     "synth": cmd_synth,

@@ -194,8 +194,16 @@ def iter_tuple_batches(
 def run_training(args) -> dict:
     """Train from CLI args (see cli.cmd_train); returns summary dict."""
     logger = MetricsLogger(os.path.join(args.out_dir, "metrics.jsonl"), echo=True)
+    import jax.numpy as jnp
+
+    # compute dtype: bf16 convs halve the MXU cost of the train step while
+    # params/optimizer state/loss stay f32 (flax param_dtype default) — the
+    # standard TPU mixed-precision recipe (no loss scaling needed for bf16).
+    # Default f32 matches the reference's training numerics exactly.
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        getattr(args, "dtype", "float32")]
     model = RetrievalNet(arch=args.arch, pooling=args.pooling,
-                         whiten_dim=args.whiten_dim)
+                         whiten_dim=args.whiten_dim, dtype=dtype)
 
     paths, clusters, qidxs, pidxs, source, val_ds = _real_or_synthetic_pool(
         args.data_root,
@@ -255,12 +263,11 @@ def run_training(args) -> dict:
             "params": state.params, "batch_stats": state.batch_stats,
         })
 
-    import jax.numpy as jnp
-
     best_loss = float("inf")
     for epoch in range(start_epoch, args.epochs):
         meta = {"arch": args.arch, "pooling": args.pooling,
                 "whiten_dim": args.whiten_dim, "loss": args.loss,
+                "dtype": getattr(args, "dtype", "float32"),
                 "epoch": epoch}
         # 1. re-mine hard negatives with the current model (SURVEY.md §3.5):
         # qsize/poolsize sampling per the reference's create_epoch_tuples —

@@ -261,3 +261,23 @@ def test_cli_query_qe_with_approximate_is_usage_error(tmp_path):
         with pytest.raises(SystemExit):
             main(["query", "--index", index, "--queries", descs,
                   "--qe", "5", *extra])
+
+
+def test_cli_bench_train_tiny(capsys):
+    """Training bench runs tiny on CPU and reports coherent throughput:
+    positive rates, images/s == tuples/s * (2 + n_neg), finite loss."""
+    rc = main(["bench-train", "--arch", "resnet18", "--image-size", "64",
+               "--batch-tuples", "2", "--n-neg", "2", "--reps", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tuples/s=" in out and "resnet18+gem" in out
+
+    from irtpu.benchmarks import run_training_bench
+
+    res = run_training_bench(arch="resnet18", image_size=64, batch_tuples=2,
+                             n_neg=2, reps=2, warmup=1)
+    assert res["tuples_per_sec"] > 0
+    assert res["images_per_sec"] == pytest.approx(
+        res["tuples_per_sec"] * 4, rel=0.02)
+    assert np.isfinite(res["loss"])
+    assert res["lat_p95_ms"] >= res["lat_p50_ms"]

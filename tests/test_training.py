@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from irtpu.models import RetrievalNet
 from irtpu.training import (
@@ -442,3 +443,37 @@ def test_gradient_accumulation_update_every():
     fin = optax.apply_updates(p0, ub)
     np.testing.assert_allclose(np.asarray(fin["w"]), np.asarray(ref["w"]),
                                rtol=1e-6)
+
+
+def test_mixed_precision_train_step_bf16():
+    """dtype=bfloat16: the trunk computes in bf16 while params/optimizer
+    state stay f32 (TPU mixed-precision recipe); loss is finite, close to
+    the f32 step's from the same init, and params actually move."""
+    from irtpu.models.retrieval_net import RetrievalNet
+    from irtpu.training.trainer import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(7)
+    px = jnp.asarray(rng.rand(2, 3, 48, 48, 3).astype(np.float32))
+    lb = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+    cfg = TrainConfig(n_neg=1, batch_tuples=2, lr=1e-3)
+
+    losses = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = RetrievalNet(arch="resnet18", dtype=dt)
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=(48, 48, 3), cfg=cfg)
+        step = make_train_step(model, tx, cfg)
+        w0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+        state, loss = step(state, px, lb)
+        losses[name] = float(loss)
+        assert np.isfinite(losses[name])
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(l.dtype == jnp.float32 for l in leaves), name
+        assert not np.array_equal(
+            w0, np.asarray(leaves[0])), f"{name}: params did not move"
+    # bf16 compute perturbs but must not distort the loss
+    assert losses["bf16"] == pytest.approx(losses["f32"], rel=0.05)

@@ -468,9 +468,19 @@ def run_ann_bench(
         return {"recall_at_k": round(rec, 4),
                 "qps": round(nq / float(np.median(lat)), 1), **knobs}
 
+    from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+        approx_topk,
+    )
+
     out: Dict[str, Dict[str, float]] = {
         "exact": measure(lambda: streaming_topk(gj, qj, k=k)),
     }
+    # full-precision scores, hardware-approximate selection (approx_max_k);
+    # on the CPU platform this lowers to exact top_k so recall pins at 1.0
+    for rt in (0.9, 0.95, 0.99):
+        out[f"approx_r{int(rt * 100)}"] = measure(
+            lambda rt=rt: approx_topk(gj, qj, k=k, recall_target=rt),
+            recall_target=rt)
 
     ivf = IVFIndex.build(g, n_clusters=n_clusters)
     C = ivf.centroids.shape[0]

@@ -177,11 +177,13 @@ def cmd_evaluate(argv):
                    help="graph neighbors per gallery item")
     p.add_argument("--diffusion-seeds", type=int, default=10,
                    help="seed matches per query")
-    p.add_argument("--ann", default=None, choices=["ivf", "pq"],
+    p.add_argument("--ann", default=None, choices=["ivf", "pq", "approx"],
                    help="evaluate from an APPROXIMATE top-K shortlist "
                         "(honest mAP lower bound: missing positives count "
                         "as never retrieved) — prices nprobe/M in mAP "
-                        "points on this corpus")
+                        "points on this corpus; 'approx' = full-precision "
+                        "scoring with TPU hardware approximate selection "
+                        "(lax.approx_max_k)")
     p.add_argument("--shortlist-k", type=int, default=100,
                    help="ANN shortlist depth K for --ann")
     p.add_argument("--recall-ks", default=None, metavar="K1,K2,...",
@@ -194,6 +196,8 @@ def cmd_evaluate(argv):
                    help="PQ code bytes/row (default D/32)")
     p.add_argument("--ann-refine", type=int, default=0)
     p.add_argument("--ann-opq", type=int, default=0)
+    p.add_argument("--ann-recall-target", type=float, default=0.95,
+                   help="per-element expected recall for --ann approx")
     p.add_argument("--sharded", action="store_true",
                    help="use the multi-chip sharded gallery")
     p.add_argument("--mesh", default=None, metavar="DxG",
@@ -270,7 +274,9 @@ def cmd_evaluate(argv):
             if args.ann == "ivf" else
             {"m": args.ann_m, "refine": args.ann_refine,
              "opq_iters": args.ann_opq}
-            if args.ann == "pq" else None
+            if args.ann == "pq" else
+            {"recall_target": args.ann_recall_target}
+            if args.ann == "approx" else None
         ),
         shortlist_k=args.shortlist_k,
         recall_ks=(None if args.recall_ks is None else
@@ -492,11 +498,21 @@ def cmd_query(argv):
     p.add_argument("--refine", type=int, default=0, metavar="R",
                    help="with --pq: exact-rescore the top-R ADC candidates "
                         "against the f32 gallery (0 = pure ADC scores)")
+    p.add_argument("--approx", type=float, default=None, metavar="RECALL",
+                   nargs="?", const=0.95,
+                   help="full-precision scoring with TPU hardware "
+                        "approximate selection (lax.approx_max_k) at this "
+                        "per-element recall target (bare flag = 0.95); "
+                        "needs no side artifact, unlike --ivf/--pq")
     p.add_argument("--out", default=None, help="optional .npz for scores/indices")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.retrieval.index import Index
 
+    if args.approx is not None and (args.pq or args.ivf or args.sharded):
+        p.error("--approx is the single-device full-gallery selection knob "
+                "(QE composes: expansion stays exact, the final selection "
+                "is approximate); drop --ivf/--pq/--sharded")
     if args.qe and (args.pq or args.ivf):
         p.error("--qe re-ranks against the FULL gallery (exact path, same "
                 "rule the serving endpoint applies); drop --ivf/--pq or "
@@ -560,8 +576,10 @@ def cmd_query(argv):
         else:
             scores, idx = sindex.query(qd, k=args.k)
     else:
-        scores, idx = index.query(qd, k=args.k,
-                                  qe_nqe=args.qe, qe_alpha=args.qe_alpha)
+        scores, idx = index.query(
+            qd, k=args.k, qe_nqe=args.qe, qe_alpha=args.qe_alpha,
+            method="exact" if args.approx is None else "approx",
+            recall_target=args.approx if args.approx is not None else 0.95)
     if args.out:
         np.savez(args.out, scores=scores, indices=idx)
         print(f"wrote {args.out}")

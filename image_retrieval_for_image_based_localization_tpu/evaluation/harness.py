@@ -198,6 +198,18 @@ def evaluate_dataset(
                 art = IVFIndex.build(index.gallery,
                                      n_clusters=kw.pop("n_clusters", None))
                 _, idx = art.search(qt, k=k_short, **kw)
+            elif ann == "approx":
+                import jax.numpy as jnp
+
+                from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+                    approx_topk,
+                )
+
+                _, idx = approx_topk(
+                    jnp.asarray(index.gallery), jnp.asarray(qt),
+                    k=k_short,
+                    recall_target=kw.pop("recall_target", 0.95))
+                idx = np.asarray(idx)
             elif ann == "pq":
                 from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
                     PQIndex,
@@ -210,7 +222,7 @@ def evaluate_dataset(
                     qt, k=k_short, refine=refine,
                     gallery=index.gallery if refine else None)
             else:
-                raise ValueError(f"unknown ann mode {ann!r} (ivf|pq)")
+                raise ValueError(f"unknown ann mode {ann!r} (ivf|pq|approx)")
         results = compute_map_and_print(
             f"{dataset.name} [ann={ann} K={k_short}]", idx.T, dataset.gnd)
         rec = _log_recall(logger, dataset, recall_ks, shortlist=idx)

@@ -26,6 +26,7 @@ from image_retrieval_for_image_based_localization_tpu.ops.whitening import (
     whiten_apply,
 )
 from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
+    approx_topk,
     knn_search,
     full_ranks,
     score_matrix,
@@ -202,15 +203,29 @@ class Index:
         k: int = 10,
         qe_nqe: int = 0,
         qe_alpha: float = 3.0,
+        method: str = "exact",
+        recall_target: float = 0.95,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k exact search. Returns (scores [Nq,k], indices [Nq,k]).
+        """Top-k search. Returns (scores [Nq,k], indices [Nq,k]).
 
         ``qe_nqe > 0`` enables αQE re-querying (``retrieval.
         query_expansion``): one extra nQE search + on-device expansion
         before the main ranking pass.
+
+        ``method``: ``"exact"`` (stable-tie streaming top-k, the default
+        and the reference-parity path) or ``"approx"`` (full-precision MXU
+        scoring with TPU hardware approximate selection via
+        ``lax.approx_max_k`` at ``recall_target`` — see
+        ``retrieval.knn.approx_topk``; no stable-tie contract).
         """
         q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
-        scores, idx = knn_search(self.device_gallery(), q, k=k)
+        if method == "approx":
+            scores, idx = approx_topk(
+                self.device_gallery(), q, k=k, recall_target=recall_target)
+        elif method == "exact":
+            scores, idx = knn_search(self.device_gallery(), q, k=k)
+        else:
+            raise ValueError(f"unknown query method {method!r} (exact|approx)")
         return np.asarray(scores), np.asarray(idx)
 
     def ranks(

@@ -186,6 +186,86 @@ def streaming_topk(
     return scores, idx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "recall_target")
+)
+def approx_topk(
+    gallery: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    recall_target: float = 0.95,
+    chunk: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k via the TPU's partial-reduction TopK hardware path.
+
+    ``lax.approx_max_k`` is XLA's TPU-native ANN primitive (the
+    "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s" reduction): the VPU
+    keeps one running max per 128-lane bin across L gallery tiles, where L
+    is solved from ``recall_target`` under a random-permutation model, then
+    a tiny exact top-k over the ~L*128 bin winners produces the result. It
+    replaces the exact path's dominant cost — the full TopK custom-call /
+    blockmax select — with a near-free streaming reduction, so throughput
+    approaches the dense-matmul floor while recall stays at the target.
+
+    Search-family position: IVF prunes *score work* (probes a subset of
+    partitions) and PQ compresses *storage*; ``approx_topk`` still scores
+    every row at full precision on the MXU and approximates only the
+    *selection*, so its recall is corpus-shape-independent (no cluster
+    mismatch risk) — the right tier when the matmul is affordable but the
+    exact selection is not. CPU/GPU backends lower it to exact ``top_k``
+    (recall 1.0), so tests on the CPU platform assert exactness and the
+    recall target is exercised statistically on hardware (PERF.md).
+
+    Contracts vs ``knn_search``: scores/indices come back sorted descending
+    like the exact path, mixed-precision galleries (bf16 / int8-dequant)
+    reuse ``score_matrix``, and ``n_valid``-style masking is not needed
+    (single-device entry). Tie-breaking is NOT the stable lower-index-wins
+    order — an approximate method has no rank-parity contract; anything
+    needing exact reference semantics uses ``knn_search``.
+
+    Streaming: galleries too large for a dense [Nq, Ng] score block are
+    scanned in chunks with per-chunk ``approx_max_k`` and an exact merge of
+    the carried candidates. Every true global top-k element is inside its
+    own chunk's true top-k (k kept per chunk), so per-chunk expected recall
+    >= target implies overall expected recall >= target.
+    """
+    Ng, D = gallery.shape
+    Nq = queries.shape[0]
+    k = min(k, Ng)
+    if chunk is None:
+        chunk = auto_chunk(Ng, Nq)
+    chunk = min(chunk, Ng)
+
+    if chunk >= Ng:
+        s = score_matrix(gallery, queries)  # [Nq, Ng]
+        return jax.lax.approx_max_k(s, k, recall_target=recall_target)
+
+    nchunks = -(-Ng // chunk)
+    pad = nchunks * chunk - Ng
+    if pad:
+        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+    gblocks = gallery.reshape(nchunks, chunk, D)
+
+    init_scores = jnp.full((Nq, k), NEG_INF, dtype=jnp.float32)
+    init_idx = jnp.full((Nq, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+
+    def body(carry, inp):
+        cur_s, cur_i = carry
+        block, cstart = inp
+        s = score_matrix(block, queries)  # [Nq, chunk]
+        lidx = cstart + jax.lax.broadcasted_iota(jnp.int32, (Nq, chunk), 1)
+        s = jnp.where(lidx < Ng, s, NEG_INF)  # mask the tail-pad rows
+        cs, cpos = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+        ci = cstart + cpos
+        cand_s = jnp.concatenate([cur_s, cs], axis=1)
+        cand_i = jnp.concatenate([cur_i, ci], axis=1)
+        return merge_topk(cand_s, cand_i, k), None
+
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    (scores, idx), _ = jax.lax.scan(body, (init_scores, init_idx), (gblocks, starts))
+    return scores, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def knn_search(
     gallery: jnp.ndarray,

@@ -199,16 +199,18 @@ def evaluate_dataset(
                                      n_clusters=kw.pop("n_clusters", None))
                 _, idx = art.search(qt, k=k_short, **kw)
             elif ann == "approx":
-                import jax.numpy as jnp
-
                 from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
                     approx_topk,
                 )
 
+                rt = kw.pop("recall_target", 0.95)
+                if kw:
+                    raise ValueError(
+                        f"unknown ann kwargs for ann='approx': {sorted(kw)} "
+                        "(only recall_target is accepted)")
                 _, idx = approx_topk(
                     jnp.asarray(index.gallery), jnp.asarray(qt),
-                    k=k_short,
-                    recall_target=kw.pop("recall_target", 0.95))
+                    k=k_short, recall_target=rt)
                 idx = np.asarray(idx)
             elif ann == "pq":
                 from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (

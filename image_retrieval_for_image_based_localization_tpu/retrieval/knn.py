@@ -229,6 +229,9 @@ def approx_topk(
     own chunk's true top-k (k kept per chunk), so per-chunk expected recall
     >= target implies overall expected recall >= target.
     """
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(
+            f"recall_target must be in (0, 1], got {recall_target}")
     Ng, D = gallery.shape
     Nq = queries.shape[0]
     k = min(k, Ng)
@@ -249,13 +252,18 @@ def approx_topk(
     init_scores = jnp.full((Nq, k), NEG_INF, dtype=jnp.float32)
     init_idx = jnp.full((Nq, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
 
+    # approx_max_k needs k <= reduction dim; clamp the per-chunk selection
+    # (the carry still holds k slots — the cross-chunk merge fills them,
+    # mirroring blockmax_topk's min(k, N) clamp)
+    kc = min(k, chunk)
+
     def body(carry, inp):
         cur_s, cur_i = carry
         block, cstart = inp
         s = score_matrix(block, queries)  # [Nq, chunk]
         lidx = cstart + jax.lax.broadcasted_iota(jnp.int32, (Nq, chunk), 1)
         s = jnp.where(lidx < Ng, s, NEG_INF)  # mask the tail-pad rows
-        cs, cpos = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+        cs, cpos = jax.lax.approx_max_k(s, kc, recall_target=recall_target)
         ci = cstart + cpos
         cand_s = jnp.concatenate([cur_s, cs], axis=1)
         cand_i = jnp.concatenate([cur_i, ci], axis=1)

@@ -146,3 +146,45 @@ def test_harness_ann_approx_mode(tmp_path):
     get = (lambda r: r["results"][key]["map"]) if key else (
         lambda r: r["results"]["map"])
     np.testing.assert_allclose(get(approx), get(exact), atol=1e-9)
+
+
+def test_k_exceeds_chunk():
+    # per-chunk selection must clamp to the chunk width (approx_max_k
+    # requires k <= reduction dim); the cross-chunk merge fills the k slots
+    rng = np.random.RandomState(7)
+    g = rng.randn(1000, 16).astype(np.float32)
+    q = rng.randn(3, 16).astype(np.float32)
+    _, ei = knn_search(jnp.asarray(g), jnp.asarray(q), k=300)
+    _, ai = approx_topk(jnp.asarray(g), jnp.asarray(q), k=300, chunk=256)
+    for a, e in zip(_sets(ai), _sets(ei)):
+        assert a == e
+
+
+def test_recall_target_range_validated():
+    import pytest
+
+    g = jnp.zeros((10, 4), jnp.float32)
+    q = jnp.zeros((2, 4), jnp.float32)
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="recall_target"):
+            approx_topk(g, q, k=2, recall_target=bad)
+
+
+def test_harness_rejects_unknown_approx_kwargs(tmp_path):
+    import pytest
+
+    from irtpu.api import Extractor
+    from irtpu.data.test_datasets import configdataset, make_synthetic_dataset
+    from irtpu.evaluation.harness import evaluate_dataset
+    from irtpu.utils.config import ExtractConfig, IndexConfig, ModelConfig
+
+    make_synthetic_dataset(str(tmp_path), "kwsynth", n_scenes=2,
+                           views_per_scene=3, n_distractors=2,
+                           image_hw=(48, 64))
+    ds = configdataset("kwsynth", str(tmp_path))
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18"), image_size=64,
+                        batch_size=8)
+    with pytest.raises(ValueError, match="unknown ann kwargs"):
+        evaluate_dataset(ds, cfg, IndexConfig(whitening=None),
+                         extractor=Extractor(cfg), ann="approx",
+                         ann_kwargs={"recall": 0.9})

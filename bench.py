@@ -116,6 +116,40 @@ def main():
         rates.append(batch * iters / (time.perf_counter() - t0))
     img_per_sec = statistics.median(rates)
 
+    # MFU / roofline aux (VERDICT r3 #8): effective TFLOP/s of the
+    # extraction phase, as a fraction of (a) the rig's bf16 matmul peak
+    # measured in this same process and (b) v5e spec (197 TF bf16) — makes
+    # vs_baseline interpretable across day-to-day rig-speed drift without
+    # cross-referencing PERF.md.
+    ext_tflops = mfu_rig = mfu_spec = rig_peak_tf = None
+    try:
+        ca = forward.lower(variables, pixels).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_iter = float(ca.get("flops", 0.0))
+    except Exception:
+        flops_per_iter = 0.0
+    if flops_per_iter > 0:
+        ext_tflops = flops_per_iter * (img_per_sec / batch) / 1e12
+        mfu_spec = ext_tflops / 197.0
+    if on_tpu:
+        mk = jax.random.normal(jax.random.PRNGKey(3), (8192, 8192), jnp.bfloat16)
+
+        @jax.jit
+        def _peak(x):
+            def body(_, y):
+                return (y @ x) * jnp.bfloat16(1.0 / 8192)
+
+            return jax.lax.fori_loop(0, 16, body, x).astype(jnp.float32).sum()
+
+        np.asarray(_peak(mk))  # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(_peak(mk))
+        rig_peak_tf = 16 * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12
+        if ext_tflops is not None:
+            mfu_rig = ext_tflops / rig_peak_tf
+        del mk
+
     # free the conv working set before the kNN phase (large batches + the
     # 100k gallery together can exhaust HBM on a long-lived process)
     del pixels, variables, outs
@@ -163,14 +197,24 @@ def main():
 
     np.asarray(multi_search(gallery, qstack)[0])
     np.asarray(multi_dense(gallery, qstack))
+    # pipelined drain (round 4): issue `depth` stacks before draining, the
+    # same queue-depth methodology the extraction phase uses — otherwise the
+    # relay's result-transfer time (~0.8 MB of top-k scores per stack at the
+    # tunnel's tens-of-MB/s) serializes with device compute and the metric
+    # measures the tunnel, not the search (PERF.md round-4 kNN notes).
+    depth = 3 if on_tpu else 1
     amort_reps, dense_reps = [], []
     for _ in range(knn_reps):
         t0 = time.perf_counter()
-        np.asarray(multi_search(gallery, qstack)[0])
-        amort_reps.append(n_stack * nq / (time.perf_counter() - t0))
+        outs = [multi_search(gallery, qstack) for _ in range(depth)]
+        for s, _i in outs:
+            np.asarray(s)
+        amort_reps.append(depth * n_stack * nq / (time.perf_counter() - t0))
         t0 = time.perf_counter()
-        np.asarray(multi_dense(gallery, qstack))
-        dense_reps.append(n_stack * nq / (time.perf_counter() - t0))
+        outs = [multi_dense(gallery, qstack) for _ in range(depth)]
+        for o in outs:
+            np.asarray(o)
+        dense_reps.append(depth * n_stack * nq / (time.perf_counter() - t0))
     qps_amort = statistics.median(amort_reps)
     dense_qps = statistics.median(dense_reps)
     hbm_gbs = dense_qps / nq * Ng * D * 4 / 1e9  # gallery bytes per second
@@ -198,8 +242,10 @@ def main():
     adc_reps = []
     for _ in range(knn_reps):
         t0 = time.perf_counter()
-        np.asarray(multi_adc(books, codes, qstack)[0])
-        adc_reps.append(n_stack * nq / (time.perf_counter() - t0))
+        outs = [multi_adc(books, codes, qstack) for _ in range(depth)]
+        for s, _i in outs:
+            np.asarray(s)
+        adc_reps.append(depth * n_stack * nq / (time.perf_counter() - t0))
     adc_qps = statistics.median(adc_reps)
 
     target_per_chip = 5000.0 / 8.0  # BASELINE.json:5 north star, per chip
@@ -218,6 +264,18 @@ def main():
                     "dense_floor_qps": round(dense_qps, 1),
                     "hbm_probe_gbs": round(hbm_gbs, 1),
                     "pq_adc_qps": round(adc_qps, 1),
+                    "extract_tflops_effective": (
+                        round(ext_tflops, 1) if ext_tflops else None
+                    ),
+                    "rig_peak_tflops_bf16": (
+                        round(rig_peak_tf, 1) if rig_peak_tf else None
+                    ),
+                    "extract_mfu_vs_rig": (
+                        round(mfu_rig, 3) if mfu_rig else None
+                    ),
+                    "extract_mfu_vs_spec": (
+                        round(mfu_spec, 3) if mfu_spec else None
+                    ),
                     "backend": jax.default_backend(),
                     "batch": batch,
                     "image_size": size,

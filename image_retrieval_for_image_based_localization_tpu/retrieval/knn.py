@@ -82,18 +82,43 @@ def merge_topk(
     return top_scores, jnp.take_along_axis(idx, pos, axis=-1)
 
 
+def _auto_block(N: int, k: int) -> int:
+    """Block size minimizing total TopK width ``N/block + k*block``: the
+    optimum is ``sqrt(N/k)``, rounded to a power of two in [8, 512]. At the
+    benchmark shape [256 x 100k, k=100] this picks 32 (vs the historical
+    fixed 128), shrinking the gathered candidate row 4x — the final TopK
+    custom-call was the single largest device cost of a search (PERF.md)."""
+    b = int(np.sqrt(max(N, 1) / max(k, 1)))
+    b = 1 << max(3, min(9, b.bit_length() - (0 if b & (b - 1) else 1)))
+    return b
+
+
 def blockmax_topk(
-    scores: jnp.ndarray, k: int, block: int = 128
+    scores: jnp.ndarray, k: int, block: int | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact hierarchical top-k over ``scores [Q, N]`` — much faster than a
     flat ``lax.top_k`` on long rows (17ms -> ~3ms at [256, 100k] on v5e).
 
-    Phase 1 reduces each 128-lane block to its max (VPU-cheap); phase 2
-    selects the top-k *blocks* — a k-element superset argument shows every
+    Phase 1 reduces each ``block``-lane group to its max (VPU-cheap); phase
+    2 selects the top-k *blocks* — a k-element superset argument shows every
     global top-k element lives in one of them: if an element e of the global
     top-k sat in a non-selected block, the k selected blocks would each hold
     an element > e, contradicting e's membership. Phase 3 gathers only those
-    blocks (k*128 candidates) and runs the final exact top-k.
+    blocks (k*block candidates) and recurses until the row is short enough
+    for a flat exact top-k.
+
+    Round-4 redesign (the VERDICT r3 "2.55x selection overhead" item):
+
+      * ``block=None`` auto-sizes to ``sqrt(N/k)`` (see ``_auto_block``) so
+        the two TopK widths ``N/block`` and ``k*block`` balance;
+      * rows that are not a multiple of ``block`` are handled by splitting
+        off the tail remainder and unconditionally appending it to the
+        candidate row instead of padding — the old ``jnp.pad`` materialized
+        a full copy of the score matrix (102 MB at the benchmark shape);
+      * phase 3 recurses on the gathered candidates while they stay long
+        (> max(4096, 4k)): each level is exact by the same superset
+        argument, and the candidate row stays index-monotonic so stability
+        composes.
 
     Tie parity with stable argsort: selected block indices are re-sorted
     ascending before the gather, so the candidate row is index-monotonic and
@@ -101,25 +126,40 @@ def blockmax_topk(
     case (blocks tying at the k-th max) is safe because stable block
     selection keeps the lowest-indexed tying blocks — exactly the ones
     holding the lowest-indexed tying elements a stable argsort would pick.
+    The always-included tail only adds candidates, so the superset argument
+    is unaffected, and its indices are the row's largest so monotonicity is
+    preserved.
     """
     Q, N = scores.shape
-    if N <= max(2 * k, 4 * block):
+    if block is None:
+        block = _auto_block(N, k)
+    if N <= max(2 * k, 4 * block, 4096):
         return jax.lax.top_k(scores, min(k, N))
-    nb = -(-N // block)
-    pad = nb * block - N
-    if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    s3 = scores.reshape(Q, nb, block)
-    bmax = jnp.max(s3, axis=-1)                      # [Q, nb]
+    nb = N // block                  # full blocks; remainder becomes the tail
+    if nb <= k:
+        # no block pruning possible (every block would be selected) — the
+        # recursion would not shrink the row; fall back to the flat select
+        return jax.lax.top_k(scores, min(k, N))
+    rem = N - nb * block
+    main = scores[:, : nb * block].reshape(Q, nb, block)
+    bmax = jnp.max(main, axis=-1)                    # [Q, nb]
     kb = min(k, nb)
     _, bidx = jax.lax.top_k(bmax, kb)                # [Q, kb]
     bidx = jnp.sort(bidx, axis=-1)                   # index-monotonic gather
-    cand = jnp.take_along_axis(s3, bidx[..., None], axis=1).reshape(Q, kb * block)
+    cand = jnp.take_along_axis(main, bidx[..., None], axis=1).reshape(
+        Q, kb * block
+    )
     cidx = (
         bidx[..., None] * block
         + jax.lax.broadcasted_iota(jnp.int32, (Q, kb, block), 2)
     ).reshape(Q, kb * block)
-    top, pos = jax.lax.top_k(cand, min(k, N))
+    if rem:
+        cand = jnp.concatenate([cand, scores[:, nb * block :]], axis=1)
+        tidx = jnp.broadcast_to(
+            jnp.arange(nb * block, N, dtype=jnp.int32), (Q, rem)
+        )
+        cidx = jnp.concatenate([cidx, tidx], axis=1)
+    top, pos = blockmax_topk(cand, min(k, N))
     return top, jnp.take_along_axis(cidx, pos, axis=-1)
 
 
@@ -157,6 +197,22 @@ def streaming_topk(
     chunk = min(chunk, Ng)
     if n_valid is None:
         n_valid = Ng
+
+    if (
+        chunk >= Ng
+        and isinstance(n_valid, int)
+        and n_valid == Ng
+        and isinstance(index_offset, int)
+        and index_offset == 0
+    ):
+        # Single-chunk fast path (the benchmark shape: the whole score block
+        # fits the budget). Skips the scan machinery, the iota/where validity
+        # mask (a full elementwise pass over the score matrix), and the
+        # NEG_INF-carry merge — selection runs straight on the dense scores.
+        # Only taken when masking/offsets are statically no-ops, so results
+        # are bitwise-identical to the scan path (same score_matrix, same
+        # stable blockmax selection).
+        return blockmax_topk(score_matrix(gallery, queries), k)
 
     nchunks = -(-Ng // chunk)
     pad = nchunks * chunk - Ng

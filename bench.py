@@ -202,7 +202,9 @@ def main():
     # relay's result-transfer time (~0.8 MB of top-k scores per stack at the
     # tunnel's tens-of-MB/s) serializes with device compute and the metric
     # measures the tunnel, not the search (PERF.md round-4 kNN notes).
-    depth = 3 if on_tpu else 1
+    # depth swept 3/6/10 on hardware: 28k/37.6k/28k q/s — 6 keeps the relay
+    # transfer fully overlapped without over-queueing it
+    depth = 6 if on_tpu else 1
     amort_reps, dense_reps = [], []
     for _ in range(knn_reps):
         t0 = time.perf_counter()

@@ -710,6 +710,13 @@ def cmd_serve(argv):
                         "dispatch (0 = off)")
     p.add_argument("--max-batch", type=int, default=64,
                    help="micro-batching cap per dispatch")
+    p.add_argument("--max-inflight", type=int, default=64,
+                   help="admission cap: requests concurrently inside the "
+                        "service (waiting + executing); excess get 503 + "
+                        "Retry-After instead of queueing (0 = unlimited)")
+    p.add_argument("--request-timeout-s", type=float, default=30.0,
+                   help="max seconds a request may WAIT for device access "
+                        "(lock / batch queue) before 504")
     args = p.parse_args(argv)
     if args.pq and args.ivf:
         p.error("--pq and --ivf are exclusive (an .ivfpq.npz artifact "
@@ -750,6 +757,8 @@ def cmd_serve(argv):
           host=args.host, port=args.port, ivf=ivf, nprobe=args.nprobe,
           pq=pq, refine=args.refine,
           batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+          max_inflight=args.max_inflight,
+          request_timeout_s=args.request_timeout_s,
           reload_paths={"index": args.index, "ivf": args.ivf,
                         "pq": args.pq, "db_names": args.db_names})
 

@@ -31,6 +31,15 @@ HTTP threads only overlap host I/O and JSON encoding). The first request
 of each (shape, k) pays the jit compile; operators should warm the pod
 with a canary query.
 
+Overload contract (``max_inflight`` / ``request_timeout_s``): at most
+``max_inflight`` requests may be inside the service at once (waiting +
+executing) — excess requests are shed immediately with **503 +
+Retry-After** instead of queueing unboundedly on the device lock, and a
+request that waits longer than ``request_timeout_s`` for device access
+(lock or batch queue) gets **504**. ``/statz`` reports both counters.
+``/healthz`` and ``/admin/reload`` bypass admission (operators must be
+able to observe and republish DURING overload).
+
 Micro-batching (``serve(batch_window_ms=...)`` / ``--batch-window-ms``):
 concurrent default-knob plain queries coalesce into ONE device dispatch
 (``MicroBatcher``) — at high concurrency the per-dispatch latency floor,
@@ -41,6 +50,7 @@ Results are exact and per-request k is honored by slicing.
 from __future__ import annotations
 
 import collections
+import contextlib
 import io
 import json
 import threading
@@ -49,6 +59,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class ServiceOverloaded(RuntimeError):
+    """Admission queue full — mapped to HTTP 503 (+ Retry-After) so load
+    sheds at the edge instead of queueing unboundedly on the device lock."""
+
+
+class ServiceTimeout(RuntimeError):
+    """Request waited past its deadline for device access — HTTP 504.
+
+    The deadline covers WAITING (admission, device-lock acquisition, the
+    micro-batcher queue). Once a request holds the lock and dispatches,
+    device work is not aborted — XLA programs are not cancelable — so a
+    pathological single dispatch can still exceed the deadline; the bound
+    this enforces is queue time, the part that grows without limit under
+    overload."""
 
 
 class EndpointStats:
@@ -116,13 +142,28 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, q: np.ndarray, k: int):
+    def submit(self, q: np.ndarray, k: int,
+               timeout: Optional[float] = None):
         ev = threading.Event()
         slot = {}
+        entry = (q, k, ev, slot)
         with self._lock:
-            self._pending.append((q, k, ev, slot))
+            self._pending.append(entry)
             self._lock.notify()
-        ev.wait()
+        if not ev.wait(timeout):
+            # the deadline covers QUEUE time only: still queued -> withdraw
+            # (no wasted dispatch rows) and time out; already drained into a
+            # dispatch -> the request is executing, wait for its result (an
+            # in-flight XLA program is not cancelable; see ServiceTimeout)
+            with self._lock:
+                withdrawn = entry in self._pending
+                if withdrawn:
+                    self._pending.remove(entry)
+            if withdrawn:
+                raise ServiceTimeout(
+                    f"query timed out after {timeout:.1f}s in the batch "
+                    "queue")
+            ev.wait()
         if "error" in slot:
             raise slot["error"]
         return slot["scores"], slot["idx"]
@@ -199,7 +240,8 @@ class RetrievalService:
 
     def __init__(self, index, extractor=None, db_names=None,
                  ivf=None, nprobe: int = 8, pq=None, refine: int = 0,
-                 batch_window_ms: float = 0.0, max_batch: int = 64):
+                 batch_window_ms: float = 0.0, max_batch: int = 64,
+                 max_inflight: int = 64, request_timeout_s: float = 30.0):
         if ivf is not None and pq is not None:
             raise ValueError("ivf and pq are exclusive (an IVFPQIndex "
                              "already embeds its coarse quantizer)")
@@ -211,6 +253,16 @@ class RetrievalService:
         self.pq = pq
         self.refine = refine
         self._lock = threading.Lock()  # serializes TPU dispatch
+        # admission control: at most max_inflight requests concurrently
+        # inside the service (waiting + executing); the rest are shed with
+        # ServiceOverloaded/503 so overload degrades to fast rejections, not
+        # an unbounded queue of threads on the device lock (0 = unlimited)
+        self.max_inflight = max_inflight
+        self.request_timeout_s = request_timeout_s
+        self._admit = (threading.BoundedSemaphore(max_inflight)
+                       if max_inflight else None)
+        self.rejected = 0   # ServiceOverloaded count (observability)
+        self.timed_out = 0  # ServiceTimeout count
         self.stats = EndpointStats()
         # micro-batching (batch_window_ms > 0): default-knob plain queries
         # coalesce into one dispatch; knob-overriding requests keep their own
@@ -265,6 +317,32 @@ class RetrievalService:
                 "dim": int(new_index.gallery.shape[1]),
                 "ivf": new_ivf is not None, "pq": new_pq is not None}
 
+    @contextlib.contextmanager
+    def _admitted(self):
+        """Admission slot for one request (counts queued + executing)."""
+        if self._admit is not None and not self._admit.acquire(blocking=False):
+            self.rejected += 1
+            raise ServiceOverloaded(
+                f"{self.max_inflight} requests already in flight")
+        try:
+            yield
+        finally:
+            if self._admit is not None:
+                self._admit.release()
+
+    @contextlib.contextmanager
+    def _device(self, deadline: float):
+        """Device lock with a wait deadline (see ServiceTimeout)."""
+        if not self._lock.acquire(timeout=max(deadline - time.monotonic(), 0)):
+            self.timed_out += 1
+            raise ServiceTimeout(
+                f"timed out after {self.request_timeout_s:.1f}s waiting "
+                "for the device")
+        try:
+            yield
+        finally:
+            self._lock.release()
+
     def _plain_search(self, q: np.ndarray, k: int):
         """The default-knob search program (what the batcher dispatches)."""
         with self._lock:
@@ -289,14 +367,27 @@ class RetrievalService:
               refine: Optional[int] = None):
         q = np.atleast_2d(np.asarray(q, np.float32))
         approx_ok = not exact and not diffusion and not qe_nqe
+        with self._admitted():
+            return self._query_admitted(
+                q, k, qe_nqe, qe_alpha, diffusion, nprobe, exact, refine,
+                approx_ok)
+
+    def _query_admitted(self, q, k, qe_nqe, qe_alpha, diffusion, nprobe,
+                        exact, refine, approx_ok):
+        deadline = time.monotonic() + self.request_timeout_s
         if (self.batcher is not None and approx_ok
                 and nprobe is None and refine is None):
             # default-knob plain query: coalesce into the shared dispatch
-            scores, idx = self.batcher.submit(q, k)
+            try:
+                scores, idx = self.batcher.submit(
+                    q, k, timeout=self.request_timeout_s)
+            except ServiceTimeout:
+                self.timed_out += 1
+                raise
             return scores, idx, self._names(idx)
         use_ivf = self.ivf is not None and approx_ok
         use_pq = self.pq is not None and approx_ok
-        with self._lock:
+        with self._device(deadline):
             if use_pq:
                 from image_retrieval_for_image_based_localization_tpu.retrieval.pq import (
                     IVFPQIndex,
@@ -351,7 +442,8 @@ class RetrievalService:
             Image.fromarray(img).save(f, format="PNG")
             path = f.name
         try:
-            with self._lock:
+            with self._admitted(), self._device(
+                    time.monotonic() + self.request_timeout_s):
                 d = self.extractor.extract([path])
         finally:
             os.unlink(path)
@@ -363,11 +455,13 @@ def _make_handler(service: RetrievalService, reload_paths: dict = None):
         def log_message(self, *a):  # quiet; metrics go to the JSON replies
             pass
 
-        def _send(self, code: int, obj) -> None:
+        def _send(self, code: int, obj, extra_headers=None) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -375,6 +469,12 @@ def _make_handler(service: RetrievalService, reload_paths: dict = None):
             if self.path.rstrip("/") == "/statz":
                 self._send(200, {
                     "endpoints": service.stats.summary(),
+                    "admission": {
+                        "max_inflight": service.max_inflight,
+                        "rejected": service.rejected,
+                        "timed_out": service.timed_out,
+                        "timeout_s": service.request_timeout_s,
+                    },
                     "batching": None if service.batcher is None else {
                         "batches": service.batcher.batches,
                         "batched_requests": service.batcher.batched_reqs,
@@ -478,6 +578,12 @@ def _make_handler(service: RetrievalService, reload_paths: dict = None):
                         })
                 else:
                     self._send(404, {"error": f"unknown path {path}"})
+            except ServiceOverloaded as e:
+                # shed load at the edge: clients back off and retry
+                self._send(503, {"error": str(e)},
+                           extra_headers={"Retry-After": "1"})
+            except ServiceTimeout as e:
+                self._send(504, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 - reply, don't kill server
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -498,6 +604,8 @@ def serve(
     batch_window_ms: float = 0.0,
     max_batch: int = 64,
     reload_paths: dict = None,
+    max_inflight: int = 64,
+    request_timeout_s: float = 30.0,
 ) -> ThreadingHTTPServer:
     """Start the retrieval service; returns the server (non-blocking mode
     runs it on a daemon thread — used by tests and embedders).
@@ -508,7 +616,8 @@ def serve(
     service = RetrievalService(index, extractor=extractor, db_names=db_names,
                                ivf=ivf, nprobe=nprobe, pq=pq, refine=refine,
                                batch_window_ms=batch_window_ms,
-                               max_batch=max_batch)
+                               max_batch=max_batch, max_inflight=max_inflight,
+                               request_timeout_s=request_timeout_s)
     class _Server(ThreadingHTTPServer):
         # stdlib default listen backlog is 5 — a concurrent burst (the
         # micro-batching case) gets connection resets under load

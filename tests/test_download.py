@@ -536,3 +536,72 @@ def test_install_verifies_existing_pinned_file(http_root, tmp_path):
     # the genuine file passes silently
     dest.write_bytes(body)
     _install(man, str(tmp_path))
+
+
+def test_parity_fire_drill_network_to_map(http_root, tmp_path, monkeypatch,
+                                          capsys):
+    """THE parity fire drill: the exact command that will produce the
+    reference-parity mAP numbers the day real assets appear, rehearsed
+    end-to-end on stand-ins. A cirtorch-format checkpoint — numeric-
+    Sequential state_dict + meta dict + Lw whitening dict, cirtorch's
+    exact on-disk .pth layout — is served from the local HTTP fixture,
+    and ONE command
+
+        evaluate --network NAME --dataset DSET --data-root ROOT
+
+    fetches it, rebuilds the model from its meta, ports the weights,
+    applies the checkpoint's OWN Lw whitening, and prints mAP E/M/H.
+    With real cirtorch checkpoint URLs in ZOO_MANIFESTS and a real
+    ROxford/RParis gnd pkl under ROOT, parity is this command with real
+    names and zero new code."""
+    import json as _json
+
+    import irtpu.data.download as dl
+    import irtpu.evaluation.harness as harness
+    from irtpu.cli import main
+    from irtpu.data.download import Artifact
+    from irtpu.data.test_datasets import make_synthetic_dataset
+
+    root, url = http_root
+    monkeypatch.delenv("IRTPU_OFFLINE", raising=False)
+    _make_fake_network(root)
+    monkeypatch.setattr(dl, "ZOO_MANIFESTS", {
+        "fake-net": Artifact(f"{url}/fake-net.pth", "networks/fake-net.pth")
+    })
+
+    data_root = tmp_path / "data"
+    make_synthetic_dataset(str(data_root), name="synthdrill", n_scenes=4,
+                           views_per_scene=4, n_distractors=6,
+                           image_hw=(64, 96), seed=5)
+
+    # spy: the checkpoint's Lw (m, P) must reach Index.build as the
+    # pre-learned whitening — that's the piece no other test covers
+    seen = {}
+    orig_build = harness.Index.build
+
+    def spy_build(descriptors, *a, **kw):
+        seen["mP"] = kw.get("whitening_mP")
+        return orig_build(descriptors, *a, **kw)
+
+    monkeypatch.setattr(harness.Index, "build", staticmethod(spy_build))
+
+    mout = tmp_path / "metrics.jsonl"
+    main(["evaluate", "--network", "fake-net",
+          "--dataset", "synthdrill", "--data-root", str(data_root),
+          "--image-size", "96", "--batch-size", "4",
+          "--metrics-out", str(mout)])
+
+    out = capsys.readouterr().out
+    map_line = next(l for l in out.splitlines()
+                    if l.startswith(">> synthdrill: mAP E:"))
+    # ">> synthdrill: mAP E: 12.3, M: 45.6, H: 7.8" -> the three numbers
+    vals = [float(p.split(":")[-1]) for p in map_line.split("mAP")[1].split(",")]
+    assert len(vals) == 3 and all(np.isfinite(v) and 0 <= v <= 100
+                                  for v in vals), map_line
+    assert seen["mP"] is not None  # checkpoint Lw applied, not relearned
+    assert seen["mP"][0].shape == (512,) and seen["mP"][1].shape == (512, 512)
+    # phase metrics landed (extract/build/rank timers for the drill log)
+    recs = [_json.loads(l) for l in open(mout) if l.strip()]
+    assert any(r.get("phase") == "extract_db" for r in recs), recs[:3]
+    # the fetched artifact landed in the cirtorch cache layout
+    assert os.path.exists(data_root / "networks" / "fake-net.pth")

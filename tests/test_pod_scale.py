@@ -102,7 +102,10 @@ def test_two_process_distributed_psum():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        # 157s alone on this box; 600 tolerates a loaded machine (the
+        # round-4 full-suite run hit TimeoutExpired at 300 while a TPU
+        # training campaign shared the host)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (pid, out[-3000:])

@@ -402,3 +402,182 @@ def test_admin_reload_with_names_path(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+class _SlowIndex:
+    """Index whose query blocks — stands in for a long device dispatch."""
+
+    def __init__(self, index, delay_s):
+        self._index = index
+        self.delay = delay_s
+        self.gallery = index.gallery
+        self.ids = index.ids
+
+    def transform_queries(self, q):
+        return self._index.transform_queries(q)
+
+    def query(self, q, **kw):
+        import time
+
+        time.sleep(self.delay)
+        return self._index.query(q, **kw)
+
+
+def test_overload_sheds_with_503():
+    """Admission cap: a burst beyond max_inflight gets immediate 503 +
+    Retry-After instead of queueing on the device lock; admitted requests
+    complete and the server answers normally afterwards."""
+    import concurrent.futures
+    import urllib.error
+
+    rng = np.random.RandomState(70)
+    db = rng.randn(40, 16).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = _SlowIndex(Index.build(db, IndexConfig(whitening=None)), 0.3)
+    srv = serve(index, block=False, port=0, max_inflight=2)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        body = json.dumps({"descriptors": db[[3]].tolist(), "k": 5}).encode()
+
+        def one():
+            try:
+                return 200, _post(f"{url}/query", body), None
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read()), e.headers
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as exe:
+            got = [f.result() for f in [exe.submit(one) for _ in range(8)]]
+        codes = [c for c, _, _ in got]
+        assert 200 in codes and 503 in codes, codes
+        shed = next(g for g in got if g[0] == 503)
+        assert shed[2]["Retry-After"] == "1"
+        assert "in flight" in shed[1]["error"]
+        # server healthy after the burst drains
+        assert _post(f"{url}/query", body)["ids"][0][0] == 3
+        with urllib.request.urlopen(f"{url}/statz") as r:
+            adm = json.loads(r.read())["admission"]
+        assert adm["rejected"] == codes.count(503)
+        assert adm["max_inflight"] == 2
+        # healthz bypasses admission (observable during overload)
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_request_wait_timeout_504():
+    """A request that waits longer than request_timeout_s for the device
+    lock gets 504 (the lock HOLDER's long dispatch is unaffected)."""
+    import concurrent.futures
+    import time
+    import urllib.error
+
+    rng = np.random.RandomState(71)
+    db = rng.randn(30, 16).astype(np.float32)
+    index = _SlowIndex(Index.build(db, IndexConfig(whitening=None)), 0.5)
+    srv = serve(index, block=False, port=0, request_timeout_s=0.05)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        body = json.dumps({"descriptors": db[[1]].tolist(), "k": 3}).encode()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as exe:
+            holder = exe.submit(_post, f"{url}/query", body)
+            time.sleep(0.1)  # holder is inside the 0.5s dispatch
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(f"{url}/query", body)
+            assert ei.value.code == 504
+            assert "waiting" in json.loads(ei.value.read())["error"]
+            assert holder.result()["ids"][0][0] == 1  # holder unaffected
+        with urllib.request.urlopen(f"{url}/statz") as r:
+            assert json.loads(r.read())["admission"]["timed_out"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_batch_queue_timeout_withdraws_request():
+    """A batched query that times out in the queue raises ServiceTimeout
+    and is WITHDRAWN from the pending list (no wasted dispatch rows)."""
+    import threading
+    import time
+
+    from irtpu.serving import RetrievalService, ServiceTimeout
+
+    rng = np.random.RandomState(72)
+    db = rng.randn(30, 16).astype(np.float32)
+    index = _SlowIndex(Index.build(db, IndexConfig(whitening=None)), 0.4)
+    svc = RetrievalService(index, batch_window_ms=2.0,
+                           request_timeout_s=0.05)
+    try:
+        t = threading.Thread(target=svc.query, args=(db[[2]],), daemon=True)
+        t.start()  # first query: dispatched alone, holds the collector 0.4s
+        time.sleep(0.15)
+        with pytest.raises(ServiceTimeout):
+            svc.query(db[[3]], k=3)  # queued behind the slow dispatch
+        assert svc.timed_out == 1
+        with svc.batcher._lock:
+            assert not svc.batcher._pending  # withdrawn, not abandoned
+        t.join()
+    finally:
+        svc.batcher.close()
+
+
+def test_reload_under_load_race(tmp_path):
+    """Hot-swap while the batcher is mid-flight: queries racing several
+    reloads (gallery size flapping 30<->50) all succeed with ids valid for
+    SOME published gallery — no 5xx, no resets, no torn state."""
+    import concurrent.futures
+    import time
+
+    from irtpu.serving import serve as serve_fn
+
+    rng = np.random.RandomState(73)
+    g_small = rng.randn(30, 16).astype(np.float32)
+    g_small /= np.linalg.norm(g_small, axis=1, keepdims=True)
+    g_big = rng.randn(50, 16).astype(np.float32)
+    g_big /= np.linalg.norm(g_big, axis=1, keepdims=True)
+    ipath = str(tmp_path / "live.npz")
+    Index.build(g_small, IndexConfig(whitening=None)).save(ipath)
+    srv = serve_fn(Index.load(ipath), block=False, port=0,
+                   batch_window_ms=2.0, reload_paths={"index": ipath})
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        stop = [False]
+        errors = []
+
+        def hammer():
+            q = rng.randn(1, 16).astype(np.float32)
+            body = json.dumps({"descriptors": q.tolist(), "k": 5}).encode()
+            n = 0
+            while not stop[0] or n == 0:
+                try:
+                    res = _post(f"{url}/query", body)
+                    ids = res["ids"][0]
+                    assert len(ids) == 5
+                    assert all(0 <= i < 50 for i in ids), ids
+                    n += 1
+                except Exception as e:  # noqa: BLE001 - collect, fail below
+                    errors.append(e)
+                    return n
+            return n
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as exe:
+            futs = [exe.submit(hammer) for _ in range(4)]
+            for i in range(6):  # 6 republish+reload cycles under load
+                g = g_big if i % 2 == 0 else g_small
+                Index.build(g, IndexConfig(whitening=None)).save(ipath)
+                assert _post(f"{url}/admin/reload", b"")["reloaded"]
+                time.sleep(0.05)
+            stop[0] = True
+            done = sum(f.result() for f in futs)
+        assert not errors, errors[:3]
+        assert done >= 4  # every worker completed at least one query
+        with urllib.request.urlopen(f"{url}/healthz") as r:
+            assert json.loads(r.read())["gallery"] == 30  # last publish
+    finally:
+        srv.service.batcher.close()
+        srv.shutdown()
+        srv.server_close()

@@ -106,6 +106,12 @@ class Extractor:
             gem_p=mc.gem_p,
             dtype=_DTYPES[mc.dtype],
             use_pallas=mc.use_pallas,
+            # default OFF: measured on hardware (PERF.md round 4) the
+            # rewrite is a 2.7% net loss at the production shape — the
+            # pack transpose costs more than the K=147->K=192 contraction
+            # geometry saves against XLA's small-channel conv emitters.
+            # Kept as an opt-in knob for other rigs/shapes.
+            s2d_stem=bool(mc.s2d_stem),
         )
         if variables is None:
             h = w = max(64, cfg.bucket_multiple * 2)
@@ -220,16 +226,27 @@ class Extractor:
             IMAGENET_STD,
         )
 
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        # normalize straight into the model's compute dtype as one fused
+        # scale-and-shift: u8 -> dt -> x*a + b with a = 1/(255 std),
+        # b = -mean/std (f32-computed constants, rounded once). In f32 this
+        # is algebraically the reference normalize; in bf16 it removes the
+        # [B,H,W,3] f32 intermediate + separate bf16 convert the trace
+        # bills at ~6.6 ms/iter (PERF.md round-4 stem chain) — the rounding
+        # step (~0.01 at |x|<=2.7) sits well under the uint8 quantization
+        # step itself (1/(255 std) ~ 0.017-0.019).
+        dt = _DTYPES[self.cfg.model.dtype]
+        nrm_a = jnp.asarray(
+            1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float64)), dt)
+        nrm_b = jnp.asarray(
+            -np.asarray(IMAGENET_MEAN, np.float64)
+            / np.asarray(IMAGENET_STD, np.float64), dt)
 
         def forward_u8(variables, pixels_u8, sizes):
             B, H, W, _ = pixels_u8.shape
             row = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1)
             col = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
             mask = (row < sizes[:, 0, None, None]) & (col < sizes[:, 1, None, None])
-            x = pixels_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
+            x = pixels_u8.astype(dt) * nrm_a + nrm_b
             x = x * mask[..., None]  # legacy zero-padding in normalized space
             return forward(variables, x, mask)
 

@@ -642,13 +642,20 @@ def cmd_config(argv):
                    help="graded benchmark config (BASELINE.json)")
     p.add_argument("--data-root", default="/tmp/irtpu_data")
     p.add_argument("--synth-root", default="/tmp/irtpu_synth")
+    p.add_argument("--log", default=None,
+                   help="JSONL path for the run's metrics (evidence pack)")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.benchmarks import (
         run_graded_config,
     )
+    from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
+        MetricsLogger,
+    )
 
-    run_graded_config(args.n, data_root=args.data_root, synth_root=args.synth_root)
+    logger = MetricsLogger(path=args.log, echo=True) if args.log else None
+    run_graded_config(args.n, data_root=args.data_root,
+                      synth_root=args.synth_root, logger=logger)
 
 
 def cmd_fullsystem(argv):

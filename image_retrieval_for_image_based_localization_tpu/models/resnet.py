@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # (block, layers-per-stage, expansion)
@@ -30,6 +31,74 @@ RESNET_SPECS = {
 }
 
 
+class _S2DConv7x7s2(nn.Module):
+    """The 7x7/stride-2 stem conv, executed as space-to-depth(2) + 4x4/s1.
+
+    The parameter is the STANDARD [7, 7, Cin, F] kernel at the standard
+    tree path (``.../conv/kernel``, lecun-normal init — identical to
+    ``nn.Conv``), so checkpoints, the torch port, and training are all
+    unchanged; only the *computation* is rewritten at apply time:
+
+        y[i,j] = Σ_{u,v,c} W[u,v,c] x[2i+u-3, 2j+v-3, c]
+               = Σ_{p,q,r,s,c} W4[p+2,q+2,(r,s,c)] X[i+p, j+q, (r,s,c)]
+
+    with ``X`` the 2x2-packed input ([B,H/2,W/2,4C], channel order
+    (row-parity r, col-parity s, c)) and ``W4[p+2,q+2,(r,s,c)] =
+    W[2p+r+3, 2q+s+3, c]`` (zero where 2p+r+3 is outside [0,7)). The map
+    u -> (p, r) = divmod(u-3, 2) is a bijection, so the rewrite is exact
+    up to f32 accumulation order. Zero spatial padding commutes with the
+    packing when H and W are even (bucketed batches are multiples of 32),
+    so conv-level padding ((2,1),(2,1)) reproduces pad=3 exactly; odd
+    inputs fall back to the direct 7x7 conv with the same parameter.
+
+    Why: at 1024px/b128 the trace (PERF.md round-4) pins the stem chain at
+    ~23 ms/iter with the 7x7 C=3 conv running far under MXU rate — 3 input
+    channels give XLA a K=147 contraction it handles with small-channel
+    emitters at ~38% of peak. The packed form quadruples the input
+    features (K=192, spatial dims halved).
+
+    Measured outcome (hardware A/B, PERF.md round 4): a 2.7% NET LOSS at
+    the production shape (546.8 -> 532.0 img/s) — the [B,H,W,3] ->
+    [B,H/2,W/2,12] pack transpose costs more than the contraction-geometry
+    change saves against XLA's specialized small-channel conv emitters.
+    Kept opt-in (``ModelConfig.s2d_stem``) for other rigs/shapes; exact by
+    construction, pinned by tests either way.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features),
+        )
+        x = x.astype(self.dtype)
+        w = kernel.astype(self.dtype)
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:  # odd shapes: direct conv, same parameter
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        w4 = jnp.zeros((4, 4, 4 * C, self.features), w.dtype)
+        for u in range(7):
+            p, r = divmod(u - 3, 2)
+            for v in range(7):
+                q, s = divmod(v - 3, 2)
+                ch = (r * 2 + s) * C
+                w4 = w4.at[p + 2, q + 2, ch:ch + C, :].set(w[u, v])
+        xp = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            xp, w4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class _ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, torchvision-parameter-compatible."""
 
@@ -38,18 +107,22 @@ class _ConvBN(nn.Module):
     stride: int = 1
     pad: int = 0
     dtype: Any = jnp.float32
+    s2d: bool = False  # 7x7/s2 only: space-to-depth rewrite (_S2DConv7x7s2)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((self.pad, self.pad), (self.pad, self.pad)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d and self.kernel == 7 and self.stride == 2 and self.pad == 3:
+            x = _S2DConv7x7s2(self.features, self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((self.pad, self.pad), (self.pad, self.pad)),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -106,6 +179,7 @@ class ResNetTrunk(nn.Module):
 
     arch: str = "resnet50"
     dtype: Any = jnp.float32
+    s2d_stem: bool = False  # exact stem rewrite, see _S2DConv7x7s2
 
     @property
     def out_channels(self) -> int:
@@ -117,7 +191,8 @@ class ResNetTrunk(nn.Module):
         block_kind, stages, _ = RESNET_SPECS[self.arch]
         block = BasicBlock if block_kind == "basic" else Bottleneck
 
-        x = _ConvBN(64, 7, 2, 3, self.dtype, name="stem")(x, train)
+        x = _ConvBN(64, 7, 2, 3, self.dtype, s2d=self.s2d_stem,
+                    name="stem")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

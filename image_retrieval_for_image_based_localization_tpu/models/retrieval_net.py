@@ -52,10 +52,11 @@ OUTPUT_DIM = {
 }
 
 
-def build_trunk(arch: str, dtype: Any = jnp.float32, name: Optional[str] = None):
+def build_trunk(arch: str, dtype: Any = jnp.float32, name: Optional[str] = None,
+                s2d_stem: bool = False):
     kw = {} if name is None else {"name": name}
     if arch.startswith("resnet"):
-        return ResNetTrunk(arch, dtype, **kw)
+        return ResNetTrunk(arch, dtype, s2d_stem=s2d_stem, **kw)
     if arch.startswith("vgg"):
         return VGGTrunk(arch, dtype, **kw)
     if arch.startswith("alexnet"):
@@ -99,6 +100,9 @@ class RetrievalNet(nn.Module):
     gem_p_trainable: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # space-to-depth stem rewrite (resnets only; exact — same parameters,
+    # better MXU contraction geometry; see models.resnet._S2DConv7x7s2)
+    s2d_stem: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -112,7 +116,8 @@ class RetrievalNet(nn.Module):
     def make_trunk(self, name: Optional[str] = "trunk"):
         """Trunk module; ``name=None`` gives a standalone-applicable module
         (an explicitly named flax module requires a parent scope)."""
-        return build_trunk(self.arch, self.dtype, name=name)
+        return build_trunk(self.arch, self.dtype, name=name,
+                           s2d_stem=self.s2d_stem)
 
     @nn.compact
     def __call__(

@@ -25,6 +25,12 @@ class ModelConfig:
     gem_p: float = 3.0
     dtype: str = "float32"  # 'float32' | 'bfloat16' (compute dtype)
     use_pallas: bool = False
+    # space-to-depth stem rewrite for resnets (exact; same parameters —
+    # see models.resnet._S2DConv7x7s2). Opt-in: measured a 2.7% net LOSS
+    # at the production shape on this rig (PERF.md round 4) — XLA's
+    # specialized small-channel conv emitters beat the extra pack
+    # transpose. None == off.
+    s2d_stem: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -289,3 +289,62 @@ def test_gemmp_checkpoint_ports_vector_p():
     model = RetrievalNet(arch="resnet18", pooling="gemmp")
     got = np.asarray(model.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+class TestS2DStem:
+    """Space-to-depth stem rewrite (models.resnet._S2DConv7x7s2): exact —
+    same parameter tree, same math up to f32 accumulation order."""
+
+    def test_s2d_stem_matches_direct_conv(self):
+        from irtpu.models.resnet import ResNetTrunk
+
+        x = jnp.asarray(_np_input((2, 64, 96, 3), seed=3))
+        ref = ResNetTrunk("resnet50")
+        variables = ref.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(ref.apply(variables, x))
+        # identical variables drive the rewritten stem (param tree equal)
+        got = np.asarray(
+            ResNetTrunk("resnet50", s2d_stem=True).apply(variables, x))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_s2d_param_tree_identical(self):
+        from irtpu.models.resnet import ResNetTrunk
+
+        x = jnp.zeros((1, 64, 64, 3))
+        v_ref = ResNetTrunk("resnet18").init(jax.random.PRNGKey(1), x)
+        v_s2d = ResNetTrunk("resnet18", s2d_stem=True).init(
+            jax.random.PRNGKey(1), x)
+        ref_tree = jax.tree.structure(v_ref)
+        assert jax.tree.structure(v_s2d) == ref_tree
+        for a, b in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_s2d)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+    def test_s2d_odd_shape_fallback(self):
+        from irtpu.models.resnet import ResNetTrunk
+
+        x = jnp.asarray(_np_input((1, 63, 65, 3), seed=4))
+        ref = ResNetTrunk("resnet18")
+        variables = ref.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+        want = np.asarray(ref.apply(variables, x))
+        got = np.asarray(
+            ResNetTrunk("resnet18", s2d_stem=True).apply(variables, x))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_s2d_descriptor_through_extractor(self):
+        """End to end at the package boundary: an Extractor forced onto the
+        rewrite produces the same descriptors as the reference path (shared
+        variables; u8 ingestion, masks, GeM head all live)."""
+        from irtpu.api import Extractor
+        from irtpu.utils.config import ExtractConfig, ModelConfig
+
+        rng = np.random.RandomState(5)
+        imgs = [rng.randint(0, 255, (60, 80, 3), np.uint8) for _ in range(3)]
+        cfg = ExtractConfig(model=ModelConfig(arch="resnet18"),
+                            image_size=80, batch_size=4)
+        ex_ref = Extractor(cfg, rng=0)
+        cfg2 = ExtractConfig(model=ModelConfig(arch="resnet18", s2d_stem=True),
+                             image_size=80, batch_size=4)
+        ex_s2d = Extractor(cfg2, rng=0, variables=ex_ref.variables)
+        a = np.asarray(ex_ref.extract(imgs))
+        b = np.asarray(ex_s2d.extract(imgs))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

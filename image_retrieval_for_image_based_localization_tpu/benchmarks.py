@@ -31,6 +31,11 @@ from image_retrieval_for_image_based_localization_tpu.utils.metrics import (
 from image_retrieval_for_image_based_localization_tpu.ops.normalization import l2n
 
 
+# config-4/5 gallery sizes (BASELINE.json); module-level so tests can run
+# the full code path (sharding, mmap artifact, pairs, recall) at toy scale
+GALLERY_SCALE = {4: 100_000, 5: 1_000_000}
+
+
 def _timed_queries(fn, reps: int = 7):
     """Run a compiled query fn ``reps`` times; return (last idx, latencies)."""
     lat = []
@@ -70,8 +75,16 @@ def run_graded_config(
     data_root: str = "/tmp/irtpu_data",
     synth_root: str = "/tmp/irtpu_synth",
     logger: Optional[MetricsLogger] = None,
+    out_dir: Optional[str] = None,
 ) -> Dict:
-    """Run graded config ``n`` (1-5); returns a results dict."""
+    """Run graded config ``n`` (1-5); returns a results dict.
+
+    ``out_dir`` (config 5): where to write the full-scale artifacts — the
+    mmap external-gallery index (``config5_index.npz`` + 4 GB bf16
+    ``.gallery.npy`` sidecar) and the localization pairs file
+    (``config5_pairs.txt``); both are probed (reload + query) before the
+    run reports success.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -109,7 +122,7 @@ def run_graded_config(
     core = ex.extract(ds.image_paths)
     qd = ex.extract(ds.query_paths, bbxs=ds.query_bbxs)
 
-    n_total = 100_000 if n == 4 else 1_000_000
+    n_total = GALLERY_SCALE[n]
     n_core, D = core.shape
     store_dtype = jnp.float32 if n == 4 else jnp.bfloat16
 
@@ -188,6 +201,56 @@ def run_graded_config(
                    seconds=float(np.sum(lat)),
                    queries_per_sec=len(qd) / float(np.median(lat)),
                    storage="bfloat16", **_latency_percentiles(lat))
+
+        # localization recall@k of the 1M-gallery shortlist (positives are
+        # the synthetic core rows, gallery[0:n_core], so gnd indices apply
+        # directly; distractor rows are never positives)
+        from image_retrieval_for_image_based_localization_tpu.localization import (
+            localization_recall,
+            write_pairs_file,
+        )
+
+        rec = localization_recall(np.asarray(idx)[:, :20], ds.gnd,
+                                  ks=(1, 5, 10, 20))
+        logger.log(config=n, event="localization_recall",
+                   **{f"recall_at_{k}": v for k, v in rec["recall"].items()})
+
+        if out_dir:
+            import os
+
+            from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+                Index,
+            )
+
+            os.makedirs(out_dir, exist_ok=True)
+            # pairs file for the downstream pose pipeline
+            qnames = [os.path.basename(p) for p in ds.query_paths]
+            dbnames = [os.path.basename(p) for p in ds.image_paths] + [
+                f"distractor{i}" for i in range(n_total - n_core)]
+            ppath = write_pairs_file(os.path.join(out_dir, "config5_pairs.txt"),
+                                     qnames, dbnames, np.asarray(idx)[:, :20])
+            logger.log(config=n, event="pairs_written", path=ppath,
+                       n_pairs=int(np.asarray(idx).shape[0]) * 20)
+
+            # the full-scale index artifact: bf16 host gallery + mmap
+            # external sidecar; probed by reload + self-consistent query
+            g_host = np.asarray(gallery)  # ml_dtypes bf16, npy-serializable
+            art = Index(gallery=g_host, m=m, P=P, storage="bfloat16")
+            ipath = os.path.join(out_dir, "config5_index.npz")
+            art.save(ipath, external_gallery=True)
+            reloaded = Index.load(ipath)
+            assert reloaded.gallery.shape == g_host.shape
+            # the reloaded artifact whitens raw descriptors itself and
+            # queries in f32 (vs the timed path's bf16 queries), so only
+            # top-1 — the high-margin core match — is dtype-stable
+            _, ridx = reloaded.query(qd[:4], k=5)
+            assert (np.asarray(ridx)[:, 0] == np.asarray(idx)[:4, 0]).all(), (
+                "mmap-reloaded index disagrees with the in-memory top-1")
+            gbytes = os.path.getsize(ipath.removesuffix(".npz")
+                                     + ".gallery.npy")
+            logger.log(config=n, event="index_artifact", path=ipath,
+                       gallery_sidecar_bytes=int(gbytes),
+                       reload_query_probe="exact")
 
     # sanity: real (core) neighbors must beat random distractors
     hit_core = float(np.mean(idx[:, 0] < core.shape[0]))

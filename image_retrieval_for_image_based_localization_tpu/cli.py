@@ -644,6 +644,9 @@ def cmd_config(argv):
     p.add_argument("--synth-root", default="/tmp/irtpu_synth")
     p.add_argument("--log", default=None,
                    help="JSONL path for the run's metrics (evidence pack)")
+    p.add_argument("--out-dir", default=None,
+                   help="config 5: directory for the mmap index artifact + "
+                        "localization pairs file")
     args = p.parse_args(argv)
 
     from image_retrieval_for_image_based_localization_tpu.benchmarks import (
@@ -655,7 +658,8 @@ def cmd_config(argv):
 
     logger = MetricsLogger(path=args.log, echo=True) if args.log else None
     run_graded_config(args.n, data_root=args.data_root,
-                      synth_root=args.synth_root, logger=logger)
+                      synth_root=args.synth_root, logger=logger,
+                      out_dir=args.out_dir)
 
 
 def cmd_fullsystem(argv):

@@ -305,15 +305,26 @@ class Index:
             P=np.zeros((0, 0)) if self.P is None else self.P,
             ids=np.zeros(0) if self.ids is None else self.ids,
         )
+        # the npy format only round-trips NATIVE numpy dtypes: an ml_dtypes
+        # bfloat16 gallery (the config-5 host representation) silently
+        # degrades to void16 ("|V2") on np.save and is unloadable. Persist
+        # such galleries as a same-width unsigned bit-view and record the
+        # real dtype in meta so load can view it back losslessly.
+        gallery = np.asarray(self.gallery)
+        if gallery.dtype.kind == "V" or gallery.dtype.name not in (
+                "float32", "float16", "float64", "int8"):
+            meta["gallery_dtype"] = gallery.dtype.name  # e.g. 'bfloat16'
+            gallery = gallery.view(
+                {1: np.uint8, 2: np.uint16, 4: np.uint32}[gallery.dtype.itemsize])
         if external_gallery:
             gpath = path.removesuffix(".npz") + ".gallery.npy"
             meta["external_gallery"] = os.path.basename(gpath)
             tmp = gpath + ".tmp"
             with open(tmp, "wb") as f:  # file handle: np.save won't
-                np.save(f, self.gallery)  # append another .npy suffix
+                np.save(f, gallery)  # append another .npy suffix
             os.replace(tmp, gpath)
         else:
-            arrays["gallery"] = self.gallery
+            arrays["gallery"] = gallery
         np.savez_compressed(
             path,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -335,6 +346,10 @@ class Index:
             gallery = np.load(gpath, mmap_mode="r")
         else:
             gallery = z["gallery"]
+        if meta.get("gallery_dtype"):
+            import ml_dtypes  # bit-view back to the real dtype (see save)
+
+            gallery = gallery.view(np.dtype(meta["gallery_dtype"]))
         return cls(
             gallery=gallery, m=m, P=P, dims=meta.get("dims"), ids=ids,
             storage=meta.get("storage", "float32"),

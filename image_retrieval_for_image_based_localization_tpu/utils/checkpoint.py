@@ -69,6 +69,14 @@ def load_checkpoint(
 
     directory = os.path.abspath(directory)
     path = os.path.join(directory, name)
+    # tolerate being handed the checkpoint directory itself rather than the
+    # run directory (e.g. `--resume runs/x/latest` instead of `--resume
+    # runs/x`): if <dir>/<name> is not a checkpoint but <dir> is one, use
+    # <dir> and look for the meta sidecar next to it
+    if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")) and \
+            os.path.exists(os.path.join(directory, "_CHECKPOINT_METADATA")):
+        path = directory
+        directory, name = os.path.split(directory)
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
         tree = ckptr.restore(path, _tree_to_numpy(_as_tree(target)))

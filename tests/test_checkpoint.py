@@ -47,6 +47,24 @@ def test_checkpoint_restore_into_state(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_load_accepts_checkpoint_dir_itself(tmp_path):
+    """`--resume runs/x/latest` (the checkpoint dir, not the run dir) must
+    work: this exact footgun aborted a real resume mid-campaign (round 4 —
+    FileNotFoundError at runs/train_ref_geom/latest/latest). The loader now
+    detects a direct checkpoint path and resolves the meta sidecar beside it."""
+    model = RetrievalNet(arch="resnet18", pooling="gem")
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(3), input_shape=(32, 32, 3), cfg=TrainConfig()
+    )
+    meta = {"epoch": 6}
+    save_checkpoint(str(tmp_path / "run"), state, meta=meta, name="latest")
+    tree, meta2 = load_checkpoint(str(tmp_path / "run" / "latest"), name="latest")
+    assert meta2 == meta
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(tree["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_metrics_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     logger = MetricsLogger(path)

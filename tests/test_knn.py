@@ -162,3 +162,31 @@ def test_external_gallery_mmap_roundtrip(tmp_path):
     s2, i2 = b.query(q, k=7)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_bf16_gallery_persists_losslessly(tmp_path):
+    """A bfloat16 HOST gallery must round-trip through save/load (inline
+    and mmap sidecar): the npy format silently degrades ml_dtypes bfloat16
+    to void16 ('|V2'), which made saved config-5 artifacts unloadable —
+    the loader now bit-views via meta['gallery_dtype']."""
+    import ml_dtypes
+
+    from irtpu.retrieval.index import Index
+
+    rng = np.random.RandomState(45)
+    g = rng.randn(60, 32).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    g16 = g.astype(ml_dtypes.bfloat16)
+    index = Index(gallery=g16, storage="bfloat16")
+    q = g[:4] + 0.01
+
+    for ext in (False, True):
+        p = str(tmp_path / f"bf16_{ext}.npz")
+        index.save(p, external_gallery=ext)
+        loaded = Index.load(p)
+        assert loaded.gallery.dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            loaded.gallery.view(np.uint16), g16.view(np.uint16))
+        s1, i1 = index.query(q, k=5)
+        s2, i2 = loaded.query(q, k=5)
+        np.testing.assert_array_equal(i1, i2)

@@ -202,29 +202,37 @@ def main():
     n_stack = 8 if on_tpu else 2
     qstack = jax.random.normal(jax.random.PRNGKey(7), (n_stack, nq, D), jnp.float32)
 
+    # The amortized metrics drain a TINY in-jit checksum (sum of scores +
+    # indices) instead of the full (stack, 256, 100) result tensors: the
+    # metric's purpose is DEVICE search capability with dispatch amortized,
+    # and pulling ~0.8 MB of top-k per stack through the tunnel's
+    # tens-of-MB/s serializes ~100 ms of transfer into a device measurement
+    # (the checksum still forces full materialization of both outputs —
+    # nothing is dead-code-eliminated). End-to-end cost including result
+    # return stays covered by knn_qps_median (single-call, full payload).
     @jax.jit
     def multi_search(g, qs):
-        return jax.lax.map(lambda q: streaming_topk(g, q, k=100), qs)
+        s, i = jax.lax.map(lambda q: streaming_topk(g, q, k=100), qs)
+        return s.sum() + i.sum().astype(jnp.float32)
 
     @jax.jit
     def multi_dense(g, qs):
-        return jax.lax.map(lambda q: jnp.max(score_matrix(g, q), axis=-1), qs)
+        return jax.lax.map(
+            lambda q: jnp.max(score_matrix(g, q), axis=-1), qs).sum()
 
-    np.asarray(multi_search(gallery, qstack)[0])
+    np.asarray(multi_search(gallery, qstack))
     np.asarray(multi_dense(gallery, qstack))
-    # pipelined drain (round 4): issue `depth` stacks before draining, the
-    # same queue-depth methodology the extraction phase uses — otherwise the
-    # relay's result-transfer time (~0.8 MB of top-k scores per stack at the
-    # tunnel's tens-of-MB/s) serializes with device compute and the metric
-    # measures the tunnel, not the search (PERF.md round-4 kNN notes).
-    # depth swept 3/6/10 on hardware: 28k/37.6k/28k q/s — 6 keeps the relay
-    # transfer fully overlapped without over-queueing it
+    # pipelined drain (round 4): issue `depth` stacks before draining so
+    # the flat ~32 ms/call dispatch overlaps device compute (the checksum
+    # return above keeps the drain itself to 8 bytes/stack). depth swept
+    # 3/6/10 on hardware with full-payload drains: 28k/37.6k/28k q/s — 6
+    # kept the transfer overlapped without over-queueing the relay.
     depth = 6 if on_tpu else 1
     amort_reps, dense_reps = [], []
     for _ in range(knn_reps):
         t0 = time.perf_counter()
         outs = [multi_search(gallery, qstack) for _ in range(depth)]
-        for s, _i in outs:
+        for s in outs:
             np.asarray(s)
         amort_reps.append(depth * n_stack * nq / (time.perf_counter() - t0))
         t0 = time.perf_counter()
@@ -252,15 +260,16 @@ def main():
 
     @jax.jit
     def multi_adc(bk, cd, qs):
-        return jax.lax.map(
+        s, i = jax.lax.map(
             lambda q: _adc_search(bk, cd, q, k=100, chunk=min(65536, Ng)), qs)
+        return s.sum() + i.sum().astype(jnp.float32)
 
-    np.asarray(multi_adc(books, codes, qstack)[0])
+    np.asarray(multi_adc(books, codes, qstack))
     adc_reps = []
     for _ in range(knn_reps):
         t0 = time.perf_counter()
         outs = [multi_adc(books, codes, qstack) for _ in range(depth)]
-        for s, _i in outs:
+        for s in outs:
             np.asarray(s)
         adc_reps.append(depth * n_stack * nq / (time.perf_counter() - t0))
     adc_qps = statistics.median(adc_reps)

@@ -50,6 +50,22 @@ import time
 import numpy as np
 
 
+def _spec_peak_tflops_bf16():
+    """Datasheet bf16 peak for the ACTUAL attached TPU generation (TF/s),
+    keyed on device_kind — hardcoding one generation's number would make
+    extract_mfu_vs_spec silently wrong on any other chip. None when the
+    generation is unknown (the field is then omitted)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for pat, tf in (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+                    ("v6 lite", 918.0), ("v6e", 918.0), ("v4", 275.0),
+                    ("v3", 123.0), ("v2", 45.0)):
+        if pat in kind:
+            return tf
+    return None
+
+
 def _accelerator_responsive(timeout_s: float = 300.0) -> bool:
     """Probe backend init in a SUBPROCESS: the tunneled axon TPU, when its
     relay is down, hangs `jax.devices()` forever (observed this round) —
@@ -146,7 +162,9 @@ def main():
         flops_per_iter = 0.0
     if flops_per_iter > 0:
         ext_tflops = flops_per_iter * (img_per_sec / batch) / 1e12
-        mfu_spec = ext_tflops / 197.0
+        spec_tf = _spec_peak_tflops_bf16()
+        if spec_tf:
+            mfu_spec = ext_tflops / spec_tf
     if on_tpu:
         mk = jax.random.normal(jax.random.PRNGKey(3), (8192, 8192), jnp.bfloat16)
 

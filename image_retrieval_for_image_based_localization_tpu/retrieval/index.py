@@ -314,8 +314,12 @@ class Index:
         if gallery.dtype.kind == "V" or gallery.dtype.name not in (
                 "float32", "float16", "float64", "int8"):
             meta["gallery_dtype"] = gallery.dtype.name  # e.g. 'bfloat16'
-            gallery = gallery.view(
-                {1: np.uint8, 2: np.uint16, 4: np.uint32}[gallery.dtype.itemsize])
+            # .view() needs a contiguous last axis (sliced/transposed
+            # galleries would raise), and the bit-view map must cover every
+            # itemsize that can reach here (int64 ids-as-gallery, f64)
+            gallery = np.ascontiguousarray(gallery).view(
+                {1: np.uint8, 2: np.uint16, 4: np.uint32,
+                 8: np.uint64}[gallery.dtype.itemsize])
         if external_gallery:
             gpath = path.removesuffix(".npz") + ".gallery.npy"
             meta["external_gallery"] = os.path.basename(gpath)

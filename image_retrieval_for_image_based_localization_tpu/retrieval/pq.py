@@ -116,7 +116,6 @@ def _opq_pca_permutation_init(x: np.ndarray, m: int) -> np.ndarray:
     w, v = np.linalg.eigh((xc.T @ xc) / max(len(x), 1))
     order = np.argsort(w)[::-1]  # eigenvalues descending
     w, v = w[order], v[:, order]
-    ds = d // m
     buckets: list = [[] for _ in range(m)]
     logprod = np.zeros(m)
     for j in range(d):

@@ -156,9 +156,16 @@ class MicroBatcher:
             # dispatch -> the request is executing, wait for its result (an
             # in-flight XLA program is not cancelable; see ServiceTimeout)
             with self._lock:
-                withdrawn = entry in self._pending
-                if withdrawn:
-                    self._pending.remove(entry)
+                # identity match, never tuple ==: entries hold numpy rows,
+                # and comparing two DIFFERENT entries would hit
+                # ndarray.__eq__ -> bool(array) ValueError whenever another
+                # request is queued ahead (the normal overload case)
+                withdrawn = False
+                for i, e in enumerate(self._pending):
+                    if e is entry:
+                        del self._pending[i]
+                        withdrawn = True
+                        break
             if withdrawn:
                 raise ServiceTimeout(
                     f"query timed out after {timeout:.1f}s in the batch "
@@ -263,6 +270,10 @@ class RetrievalService:
                        if max_inflight else None)
         self.rejected = 0   # ServiceOverloaded count (observability)
         self.timed_out = 0  # ServiceTimeout count
+        # guards the two counters above: they are incremented from many
+        # handler threads, and an unsynchronized read-modify-write loses
+        # increments under exactly the load /statz exists to observe
+        self._counter_lock = threading.Lock()
         self.stats = EndpointStats()
         # micro-batching (batch_window_ms > 0): default-knob plain queries
         # coalesce into one dispatch; knob-overriding requests keep their own
@@ -321,7 +332,8 @@ class RetrievalService:
     def _admitted(self):
         """Admission slot for one request (counts queued + executing)."""
         if self._admit is not None and not self._admit.acquire(blocking=False):
-            self.rejected += 1
+            with self._counter_lock:
+                self.rejected += 1
             raise ServiceOverloaded(
                 f"{self.max_inflight} requests already in flight")
         try:
@@ -334,7 +346,8 @@ class RetrievalService:
     def _device(self, deadline: float):
         """Device lock with a wait deadline (see ServiceTimeout)."""
         if not self._lock.acquire(timeout=max(deadline - time.monotonic(), 0)):
-            self.timed_out += 1
+            with self._counter_lock:
+                self.timed_out += 1
             raise ServiceTimeout(
                 f"timed out after {self.request_timeout_s:.1f}s waiting "
                 "for the device")
@@ -382,7 +395,8 @@ class RetrievalService:
                 scores, idx = self.batcher.submit(
                     q, k, timeout=self.request_timeout_s)
             except ServiceTimeout:
-                self.timed_out += 1
+                with self._counter_lock:
+                    self.timed_out += 1
                 raise
             return scores, idx, self._names(idx)
         use_ivf = self.ivf is not None and approx_ok

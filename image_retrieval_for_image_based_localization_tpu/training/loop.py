@@ -263,6 +263,24 @@ def run_training(args) -> dict:
             "params": state.params, "batch_stats": state.batch_stats,
         })
 
+    # NetVLAD centroids from k-means on trunk local features (the reference
+    # lineage's init — SURVEY.md §2 "centroids init from k-means"); skipped
+    # on resume, where the checkpoint already carries trained centroids.
+    if args.pooling == "netvlad" and start_epoch == 0:
+        from image_retrieval_for_image_based_localization_tpu.training.netvlad_init import (
+            init_netvlad_from_images,
+        )
+
+        sample = list(paths[: min(len(paths), 200)])
+        new_vars = init_netvlad_from_images(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sample, ex_cfg,
+        )
+        state = state.replace(params=new_vars["params"])
+        logger.log(event="netvlad_kmeans_init", images=len(sample),
+                   clusters=int(model.netvlad_clusters))
+
     best_loss = float("inf")
     for epoch in range(start_epoch, args.epochs):
         meta = {"arch": args.arch, "pooling": args.pooling,

@@ -477,3 +477,44 @@ def test_mixed_precision_train_step_bf16():
             w0, np.asarray(leaves[0])), f"{name}: params did not move"
     # bf16 compute perturbs but must not distort the loss
     assert losses["bf16"] == pytest.approx(losses["f32"], rel=0.05)
+
+
+def test_train_step_netvlad_kmeans_init_finite_grads():
+    """NetVLAD trains from the paper's alpha=100 k-means init without NaNs.
+
+    Regression: alpha=100 assignment logits underflow whole clusters to
+    exactly-zero soft mass, so intra-normalization sees exactly-zero VLAD
+    rows; l2n's un-floored sqrt then NaN'd every gradient (round-5 fix in
+    ops/normalization.py::l2n). This drives the real path: k-means head
+    init -> fused-VJP NetVLAD head -> contrastive step -> finite descent.
+    """
+    from irtpu.models.retrieval_net import OUTPUT_DIM
+    from irtpu.training import netvlad_init
+
+    model = RetrievalNet(arch="resnet18", pooling="netvlad")
+    cfg = TrainConfig(n_neg=1, lr=3e-2)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+    )
+    # k-means centroids + paper init straight into the train state
+    rng = np.random.RandomState(7)
+    feats = rng.randn(512, OUTPUT_DIM[model.arch]).astype(np.float32)
+    cent, _ = netvlad_init.kmeans(
+        jnp.asarray(feats), model.netvlad_clusters, iters=5
+    )
+    head = netvlad_init.init_netvlad_params(np.asarray(cent), alpha=100.0)
+    params = dict(state.params)
+    params.update({k: jnp.asarray(v) for k, v in head.items()})
+    state = state.replace(params=params)
+
+    step = make_train_step(model, tx, cfg)
+    pixels = jnp.asarray(rng.rand(2, 3, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, pixels, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert losses[-1] < losses[0], losses

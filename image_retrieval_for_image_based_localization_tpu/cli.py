@@ -30,6 +30,8 @@ def _model_args(p: argparse.ArgumentParser):
                         "region sum (forces exact-shape extraction)")
     p.add_argument("--whiten-dim", type=int, default=None,
                    help="learned FC whitening output dim")
+    p.add_argument("--netvlad-clusters", type=int, default=64,
+                   help="NetVLAD cluster count K (descriptor dim = K*C)")
     p.add_argument("--image-size", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--multiscale", action="store_true",
@@ -67,6 +69,7 @@ def _build_extract_cfg(args):
             pooling=args.pooling,
             regional=getattr(args, "regional", False),
             whiten_dim=args.whiten_dim,
+            netvlad_clusters=getattr(args, "netvlad_clusters", 64),
             dtype="bfloat16" if args.bf16 else "float32",
             use_pallas=args.pallas,
         ),
@@ -102,6 +105,9 @@ def _resolve_network(args):
     args.pooling = model.pooling
     args.regional = model.regional
     args.whiten_dim = model.whiten_dim
+    # checkpoint metas carry K (older zoo nets use 16/32/64); without this
+    # a K!=64 NetVLAD checkpoint fails to port into the default-K model
+    args.netvlad_clusters = model.netvlad_clusters
     return variables, mP
 
 

@@ -203,7 +203,9 @@ def run_training(args) -> dict:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         getattr(args, "dtype", "float32")]
     model = RetrievalNet(arch=args.arch, pooling=args.pooling,
-                         whiten_dim=args.whiten_dim, dtype=dtype)
+                         whiten_dim=args.whiten_dim, dtype=dtype,
+                         netvlad_clusters=getattr(args, "netvlad_clusters", 64),
+                         use_pallas=getattr(args, "pallas", False))
 
     paths, clusters, qidxs, pidxs, source, val_ds = _real_or_synthetic_pool(
         args.data_root,
@@ -253,7 +255,8 @@ def run_training(args) -> dict:
 
     ex_cfg = ExtractConfig(
         model=ModelConfig(arch=args.arch, pooling=args.pooling,
-                          whiten_dim=args.whiten_dim),
+                          whiten_dim=args.whiten_dim,
+                          netvlad_clusters=getattr(args, "netvlad_clusters", 64)),
         image_size=args.image_size,
         batch_size=getattr(args, "batch_size", 8),
     )

@@ -174,11 +174,11 @@ def make_train_step(
     bs=1 exact shapes where the issue doesn't arise.)
     """
 
-    if model.use_pallas and model.pooling != "gem":
+    if model.use_pallas and model.pooling not in ("gem", "netvlad"):
         raise ValueError(
-            "training with use_pallas=True is only supported for GeM pooling "
-            "(gem_l2n_fused defines a custom VJP); the fused NetVLAD kernel "
-            "has no VJP — use use_pallas=False for training"
+            "training with use_pallas=True is only supported for GeM and "
+            "NetVLAD pooling (gem_l2n_fused and netvlad_fused define custom "
+            "VJPs) — use use_pallas=False for training other heads"
         )
 
     def apply_updates(state, loss, new_stats, grads):

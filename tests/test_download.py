@@ -262,36 +262,72 @@ def test_cli_download_verifies(tmp_path, monkeypatch, capsys):
         main(["download", "not-a-thing", "--data-root", str(tmp_path)])
 
 
-def _make_fake_network(root):
-    """Write a cirtorch-layout pretrained checkpoint (numeric-Sequential
-    keys, meta dict with Lw whitening) as ``root/fake-net.pth``; return
-    (torch_trunk, m, P)."""
+def _make_fake_network(root, arch="resnet18", pooling="gem", clusters=4,
+                       lw_nesting="flat", name="fake-net"):
+    """Write a cirtorch-layout pretrained checkpoint as ``root/<name>.pth``
+    and return (torch_trunk, m, P).
+
+    Parameterized over the zoo's checkpoint-layout matrix so the parity
+    fire drill can rehearse every graded arch×pool combination:
+      * arch: resnet18 (numeric-Sequential renaming) or vgg16 (numeric
+        keys natively, no BN);
+      * pooling: 'gem' (``pool.p`` scalar) or 'netvlad' (``pool.centroids``
+        + ``pool.conv.{weight,bias}`` 1x1-conv layout, meta['pooling'] as
+        the cluster-count dict older checkpoints use);
+      * lw_nesting: 'flat' ({'m','P'} directly) or 'ss_ms' (the real zoo's
+        Lw[dataset]['ss'|'ms'] extra level).
+    """
     import sys
 
     import torch
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from torch_oracles import randomize_bn_stats, resnet18_trunk
+    from torch_oracles import VGG16Torch, randomize_bn_stats, resnet18_trunk
 
     torch.manual_seed(3)
-    tm = randomize_bn_stats(resnet18_trunk(), 5).eval()
-    # cirtorch numeric nn.Sequential key layout
-    seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
-           "layer3": "6", "layer4": "7"}
-    sd = {}
-    for k, v in tm.state_dict().items():
-        head, _, tail = k.partition(".")
-        sd[f"features.{seq[head]}" + ("." + tail if tail else "")] = v
-    sd["pool.p"] = torch.tensor(3.0)
+    if arch == "resnet18":
+        tm = randomize_bn_stats(resnet18_trunk(), 5).eval()
+        # cirtorch numeric nn.Sequential key layout
+        seq = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+               "layer3": "6", "layer4": "7"}
+        sd = {}
+        for k, v in tm.state_dict().items():
+            head, _, tail = k.partition(".")
+            sd[f"features.{seq[head]}" + ("." + tail if tail else "")] = v
+    elif arch == "vgg16":
+        tm = VGG16Torch().eval()
+        sd = {f"features.{k}" if not k.startswith("features.") else k: v
+              for k, v in tm.state_dict().items()}
+    else:
+        raise ValueError(arch)
+
+    C = 512  # trunk output channels for both archs
     rng = np.random.RandomState(0)
-    m_w = rng.randn(512) * 0.01
-    P_w = rng.randn(512, 512) * 0.05 + np.eye(512)
+    if pooling == "gem":
+        sd["pool.p"] = torch.tensor(3.0)
+        meta_pool = "gem"
+        outdim = C
+    elif pooling == "netvlad":
+        sd["pool.centroids"] = torch.randn(clusters, C) * 0.1
+        sd["pool.conv.weight"] = torch.randn(clusters, C, 1, 1) * 0.1
+        sd["pool.conv.bias"] = torch.randn(clusters) * 0.1
+        meta_pool = {"name": "netvlad", "clusters": clusters}
+        outdim = clusters * C
+    else:
+        raise ValueError(pooling)
+
+    m_w = rng.randn(outdim).astype(np.float32) * 0.01
+    P_w = (rng.randn(outdim, outdim).astype(np.float32) * 0.05
+           + np.eye(outdim, dtype=np.float32))
+    entry = {"m": m_w, "P": P_w}
+    if lw_nesting == "ss_ms":
+        entry = {"ss": entry, "ms": {"m": m_w * 0.5, "P": P_w}}
     meta = {
-        "architecture": "resnet18", "pooling": "gem", "whitening": False,
-        "outputdim": 512,
-        "Lw": {"retrieval-SfM-120k": {"m": m_w, "P": P_w}},
+        "architecture": arch, "pooling": meta_pool, "whitening": False,
+        "outputdim": outdim,
+        "Lw": {"retrieval-SfM-120k": entry},
     }
-    torch.save({"state_dict": sd, "meta": meta}, root / "fake-net.pth")
+    torch.save({"state_dict": sd, "meta": meta}, root / f"{name}.pth")
     return tm, m_w, P_w
 
 
@@ -538,14 +574,21 @@ def test_install_verifies_existing_pinned_file(http_root, tmp_path):
     _install(man, str(tmp_path))
 
 
+@pytest.mark.parametrize("arch,pooling,lw_nesting", [
+    ("resnet18", "gem", "flat"),
+    ("resnet18", "netvlad", "ss_ms"),
+    ("vgg16", "gem", "ss_ms"),
+    ("vgg16", "netvlad", "flat"),
+])
 def test_parity_fire_drill_network_to_map(http_root, tmp_path, monkeypatch,
-                                          capsys):
+                                          capsys, arch, pooling, lw_nesting):
     """THE parity fire drill: the exact command that will produce the
     reference-parity mAP numbers the day real assets appear, rehearsed
-    end-to-end on stand-ins. A cirtorch-format checkpoint — numeric-
-    Sequential state_dict + meta dict + Lw whitening dict, cirtorch's
-    exact on-disk .pth layout — is served from the local HTTP fixture,
-    and ONE command
+    end-to-end on stand-ins — parameterized over the zoo's checkpoint
+    layout matrix (resnet/vgg x gem/netvlad, flat vs ss/ms-nested Lw).
+    A cirtorch-format checkpoint — state_dict + meta dict + Lw whitening
+    dict, cirtorch's exact on-disk .pth layout — is served from the local
+    HTTP fixture, and ONE command
 
         evaluate --network NAME --dataset DSET --data-root ROOT
 
@@ -564,7 +607,9 @@ def test_parity_fire_drill_network_to_map(http_root, tmp_path, monkeypatch,
 
     root, url = http_root
     monkeypatch.delenv("IRTPU_OFFLINE", raising=False)
-    _make_fake_network(root)
+    _make_fake_network(root, arch=arch, pooling=pooling,
+                       lw_nesting=lw_nesting)
+    outdim = 512 if pooling == "gem" else 4 * 512
     monkeypatch.setattr(dl, "ZOO_MANIFESTS", {
         "fake-net": Artifact(f"{url}/fake-net.pth", "networks/fake-net.pth")
     })
@@ -599,7 +644,8 @@ def test_parity_fire_drill_network_to_map(http_root, tmp_path, monkeypatch,
     assert len(vals) == 3 and all(np.isfinite(v) and 0 <= v <= 100
                                   for v in vals), map_line
     assert seen["mP"] is not None  # checkpoint Lw applied, not relearned
-    assert seen["mP"][0].shape == (512,) and seen["mP"][1].shape == (512, 512)
+    assert seen["mP"][0].shape == (outdim,)
+    assert seen["mP"][1].shape == (outdim, outdim)
     # phase metrics landed (extract/build/rank timers for the drill log)
     recs = [_json.loads(l) for l in open(mout) if l.strip()]
     assert any(r.get("phase") == "extract_db" for r in recs), recs[:3]

@@ -518,3 +518,32 @@ def test_train_step_netvlad_kmeans_init_finite_grads():
     for leaf in jax.tree.leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_train_step_netvlad_pallas_matches_xla_head():
+    """The fused NetVLAD head's custom VJP trains identically to the XLA
+    oracle head (same scheme as the GeM parity test above)."""
+
+    def setup(use_pallas):
+        model = RetrievalNet(
+            arch="resnet18", pooling="netvlad", use_pallas=use_pallas
+        )
+        # SGD: the update is linear in the gradient, so this pins gradient
+        # parity directly (Adam's first-step g/(|g|+eps) normalization
+        # amplifies fp-noise on near-zero grads into ~1e-5 param noise)
+        cfg = TrainConfig(n_neg=1, lr=1e-3, optimizer="sgd", momentum=0.0)
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(0), input_shape=(32, 32, 3), cfg=cfg
+        )
+        return state, make_train_step(model, tx, cfg)
+
+    rng = np.random.RandomState(8)
+    pixels = jnp.asarray(rng.rand(2, 3, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.tile(np.array([[0, 1, -1]], np.int32), (2, 1)))
+    s_p, step_p = setup(True)
+    s_x, step_x = setup(False)
+    s_p, l_p = step_p(s_p, pixels, labels)
+    s_x, l_x = step_x(s_x, pixels, labels)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_p.params), jax.tree.leaves(s_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -114,10 +114,43 @@ def whiten_learn(
     """Supervised (Lw) whitening from matching pairs.
 
     ``X [N, D]`` descriptors; ``qidxs``/``pidxs`` index matching rows.
-    Returns ``(m [D], P [D, D])``.
+    Returns ``(m [D], P [D, D])`` — or ``P [r, D]`` in the dual regime
+    below.
+
+    When ``N < D`` the reference math is degenerate AND intractable: the
+    pair-difference covariance has rank <= npairs but is regularized to
+    full rank, so ``cholesky``/``eigh`` run O(D^3) on a [D, D] matrix —
+    for NetVLAD's D = 32768 that is ~hours and an 8.6 GB buffer on this
+    host (a netvlad training run wedged here for 25+ minutes in round 5).
+    In that regime the computation drops to the rank-r row space of the
+    centered data (SVD, O(N^2 D)): identical cirtorch Lw algebra on the
+    span coordinates, returning ``P [r, D]``. Out-of-span directions carry
+    no training data — the primal would amplify them by eps^-1/2 = 1e6
+    into pure noise — so the span-reduced transform is the only meaningful
+    part of the primal answer, as with ``pca_whiten_learn``'s dual path.
     """
     X = np.asarray(X, dtype=np.float64)
+    N, D = X.shape
     m = X[qidxs].mean(axis=0)
+    if N < D:
+        logging.getLogger(__name__).warning(
+            "whiten_learn: N=%d < D=%d — span-reduced (dual) Lw engaged; "
+            "P is [%d, D] (deviates from the reference's [D, D] with its "
+            "1e6x out-of-span noise amplification)", N, D, min(N, D),
+        )
+        Xc = X - m
+        _, sv, Vt = np.linalg.svd(Xc, full_matrices=False)
+        r = max(int((sv > max(sv[0], 0.0) * 1e-12).sum()), 1)
+        Vt = Vt[:r]                     # [r, D] orthonormal span basis
+        Z = Xc @ Vt.T                   # [N, r] span coordinates
+        df = (Z[qidxs] - Z[pidxs]).T    # [r, npairs]
+        S = df @ df.T / df.shape[1]
+        S = S + 1e-12 * np.eye(r)
+        P1 = np.linalg.inv(np.linalg.cholesky(S))
+        dfp = P1 @ Z.T                  # [r, N]
+        eigval, eigvec = np.linalg.eigh(dfp @ dfp.T)
+        order = np.argsort(eigval)[::-1]
+        return m, (eigvec[:, order].T @ P1) @ Vt
     df = (X[qidxs] - X[pidxs]).T  # [D, npairs]
     S = df @ df.T / df.shape[1]
     S = S + 1e-12 * np.eye(S.shape[0])

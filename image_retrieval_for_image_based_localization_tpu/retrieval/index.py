@@ -27,11 +27,38 @@ from image_retrieval_for_image_based_localization_tpu.ops.whitening import (
 )
 from image_retrieval_for_image_based_localization_tpu.retrieval.knn import (
     approx_topk,
+    auto_chunk,
+    blockmax_topk,
     knn_search,
     full_ranks,
     score_matrix,
 )
 from image_retrieval_for_image_based_localization_tpu.utils.config import IndexConfig
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dims"))
+def _fused_query_whitened(gallery, q, m, P, k, dims):
+    """Whiten + score + exact top-k as ONE device program.
+
+    The serving concurrency-1 path: eagerly chaining transform_queries
+    (own dispatch + a device->host->device descriptor bounce) and the
+    selection ops pays one relay round trip per op through this rig's
+    tunnel; a single jitted program pays one H2D (the tiny query), one
+    dispatch, one D2H. Math identical to transform_queries + knn_search's
+    single-chunk path: same whiten_apply, same score_matrix, same stable
+    blockmax selection.
+    """
+    return blockmax_topk(
+        score_matrix(gallery, whiten_apply(q, m, P, dims)), k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fused_query_plain(gallery, q, k):
+    return blockmax_topk(score_matrix(gallery, q), k)
 
 
 @dataclasses.dataclass
@@ -55,6 +82,9 @@ class Index:
     ids: Optional[np.ndarray] = None    # image identifiers (or indices)
     storage: str = "float32"
     _device_gallery: Optional[jnp.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _device_mP: Optional[Tuple] = dataclasses.field(
         default=None, repr=False, compare=False
     )
 
@@ -218,6 +248,34 @@ class Index:
         ``lax.approx_max_k`` at ``recall_target`` — see
         ``retrieval.knn.approx_topk``; no stable-tie contract).
         """
+        if method == "exact" and not qe_nqe:
+            q_np = np.atleast_2d(np.asarray(qdescriptors, np.float32))
+            Ng = self.gallery.shape[0]
+            if auto_chunk(Ng, q_np.shape[0]) >= Ng:
+                # single-dispatch fast path (serving concurrency-1): one
+                # program does whiten + score + select — identical results
+                # to the staged path (same single-chunk scoring + stable
+                # blockmax), minus the per-stage relay round trips
+                g = self.device_gallery()
+                kk = min(k, Ng)
+                # pad Nq to the next power of two: one compile per bucket
+                # instead of per request batch size (pad rows are computed
+                # and discarded; row-wise ops keep real rows unchanged)
+                nq = q_np.shape[0]
+                bucket = 1 << (nq - 1).bit_length()
+                if bucket != nq:
+                    q_np = np.pad(q_np, ((0, bucket - nq), (0, 0)))
+                if self.P is not None:
+                    if self._device_mP is None:
+                        self._device_mP = (jnp.asarray(self.m),
+                                           jnp.asarray(self.P))
+                    scores, idx = _fused_query_whitened(
+                        g, jnp.asarray(q_np), *self._device_mP,
+                        k=kk, dims=self.dims)
+                else:
+                    scores, idx = _fused_query_plain(
+                        g, jnp.asarray(q_np), k=kk)
+                return np.asarray(scores)[:nq], np.asarray(idx)[:nq]
         q = self._search_queries(qdescriptors, qe_nqe, qe_alpha)
         if method == "approx":
             scores, idx = approx_topk(

@@ -214,3 +214,43 @@ def test_bf16_gallery_persists_losslessly(tmp_path):
         s1, i1 = index.query(q, k=5)
         s2, i2 = loaded.query(q, k=5)
         np.testing.assert_array_equal(i1, i2)
+
+
+def test_fused_single_dispatch_query_matches_staged():
+    """Index.query's fused serving path (whiten+score+select in one jitted
+    program, round-5) must return exactly what the staged path returns:
+    same whiten_apply, same single-chunk scoring, same stable blockmax —
+    across whitening on/off, non-power-of-two Nq (pad bucket), and k."""
+    from irtpu.retrieval import Index, knn_search
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(31)
+    g = rng.randn(800, 64).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = rng.randn(5, 64).astype(np.float32)  # 5 -> pads to bucket 8
+
+    for whitening in (None, "pca"):
+        idx = Index.build(g.copy(), IndexConfig(whitening=whitening))
+        s_f, i_f = idx.query(q, k=13)
+        # staged reference: transform + knn_search, the pre-fusion pipeline
+        qw = jnp.asarray(idx.transform_queries(q))
+        s_r, i_r = knn_search(idx.device_gallery(), qw, k=13)
+        np.testing.assert_array_equal(i_f, np.asarray(i_r))
+        np.testing.assert_allclose(s_f, np.asarray(s_r), rtol=1e-6, atol=1e-7)
+        assert s_f.shape == (5, 13)
+
+
+def test_fused_query_int8_storage_cosine_scale():
+    """The fused path inherits score_matrix's int8 dequant-and-rescale."""
+    from irtpu.retrieval import Index
+    from irtpu.utils.config import IndexConfig
+
+    rng = np.random.RandomState(32)
+    g = rng.randn(300, 32).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q = g[:4] + rng.randn(4, 32).astype(np.float32) * 0.01
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx = Index.build(g, IndexConfig(whitening=None, storage="int8"))
+    s, i = idx.query(q, k=3)
+    assert np.abs(s).max() <= 1.01
+    assert (i[:, 0] == np.arange(4)).mean() >= 0.75

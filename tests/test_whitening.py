@@ -140,3 +140,42 @@ def test_index_build_with_precomputed_whitening():
     want_q = np.asarray(whiten_apply(jnp.asarray(q), jnp.asarray(m),
                                      jnp.asarray(P), None))
     np.testing.assert_allclose(qt, want_q, rtol=1e-5, atol=1e-6)
+
+
+def test_lw_dual_high_dim_matches_span_semantics():
+    """N < D supervised Lw: the span-reduced path must (a) be fast at
+    NetVLAD-scale D, (b) return P [r, D], (c) still contract matching-pair
+    distances relative to non-pairs after whitening — the property Lw
+    exists for. Regression: the primal path at D=32768 builds an 8.6 GB
+    covariance and runs O(D^3) factorizations (hours); a netvlad training
+    run wedged in its post-train Lw stage."""
+    import time
+
+    rng = np.random.RandomState(5)
+    N, D = 48, 8192
+    base = rng.randn(N // 2, D)
+    X = np.repeat(base, 2, axis=0) + rng.randn(N, D) * 0.15
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    qidxs = np.arange(0, N, 2)
+    pidxs = qidxs + 1
+
+    t0 = time.time()
+    m, P = whiten_learn(X, qidxs, pidxs)
+    assert time.time() - t0 < 30.0  # dual: O(N^2 D), not O(D^3)
+    r = P.shape[0]
+    assert P.shape == (r, D) and r <= N
+
+    Xw = np.asarray(whiten_apply(X, m, P))
+    pair_d = np.linalg.norm(Xw[qidxs] - Xw[pidxs], axis=1).mean()
+    rnd = rng.permutation(N)
+    nonpair_d = np.linalg.norm(Xw[qidxs] - Xw[rnd[: len(qidxs)]], axis=1).mean()
+    assert pair_d < nonpair_d
+
+
+def test_lw_primal_unchanged_when_n_ge_d():
+    """N >= D keeps the exact reference primal math (P square [D, D])."""
+    rng = np.random.RandomState(6)
+    N, D = 120, 16
+    X = rng.randn(N, D)
+    m, P = whiten_learn(X, np.arange(0, 40, 2), np.arange(1, 40, 2))
+    assert P.shape == (D, D)

@@ -243,6 +243,24 @@ def main():
         qps_reps.append(nq * 3 / (time.perf_counter() - t0))
     qps = statistics.median(qps_reps)
 
+    # serving concurrency-1 latency: ONE query through the round-5 fused
+    # single-dispatch program (whiten-less here; score+select in one jit).
+    # Through the relay this is dominated by the flat dispatch floor —
+    # the staged per-op path it replaced measured ~9x worse (PERF.md r5).
+    from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+        _fused_query_plain,
+    )
+
+    q1 = queries[:1]
+    np.asarray(_fused_query_plain(gallery, q1, k=10)[0])  # compile
+    lat1 = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        s1, i1 = _fused_query_plain(gallery, q1, k=10)
+        np.asarray(s1), np.asarray(i1)
+        lat1.append(time.perf_counter() - t0)
+    fused_query_p50_ms = statistics.median(lat1) * 1e3
+
     # dispatch-amortized variants: several query batches inside ONE jitted
     # program (lax.map) — a single 256-query call through this rig's tunnel
     # costs a flat ~32 ms dispatch vs ~12 ms device compute, so the
@@ -345,6 +363,7 @@ def main():
                     "knn_qps_median": round(qps, 1),
                     "knn_qps_reps": [round(r, 1) for r in qps_reps],
                     "knn_qps_amortized": round(qps_amort, 1),
+                    "fused_query_p50_ms": round(fused_query_p50_ms, 2),
                     "dense_floor_qps": round(dense_qps, 1),
                     "hbm_probe_gbs": round(hbm_gbs, 1),
                     "hbm_stream_gbs": (

@@ -178,6 +178,14 @@ def whiten_apply(
     """
     if dims is None:
         dims = P.shape[0]
-    Xw = (X - m[None, :]) @ P[:dims].T
+    # HIGHEST precision: TPU matmuls default to bf16-ish passes, which put
+    # ~5e-4 absolute error on whitened unit-norm descriptors (measured on
+    # hardware round 5) — enough to flip near-tie ranks vs the reference's
+    # f32 math. This matmul is small (queries) or one-time (gallery build),
+    # so full precision costs nothing that matters.
+    import jax
+
+    Xw = jnp.matmul(X - m[None, :], P[:dims].T,
+                    precision=jax.lax.Precision.HIGHEST)
     norm = jnp.sqrt(jnp.sum(jnp.square(Xw), axis=1, keepdims=True))
     return Xw / (norm + eps)

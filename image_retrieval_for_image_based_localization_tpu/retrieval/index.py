@@ -61,6 +61,13 @@ def _fused_query_plain(gallery, q, k):
     return blockmax_topk(score_matrix(gallery, q), k)
 
 
+# transform_queries feeds the IVF/PQ serving paths, which are themselves
+# single-dispatch jits — jit the whitening too so the pre-transform isn't
+# the one remaining eager per-op chain (4 relay round trips) per request
+_whiten_apply_jit = functools.partial(jax.jit, static_argnames=("dims",))(
+    whiten_apply)
+
+
 @dataclasses.dataclass
 class Index:
     """Exact-search descriptor index.
@@ -208,8 +215,11 @@ class Index:
         q = np.asarray(qdescriptors, dtype=np.float32)
         if self.P is None:
             return q
+        if self._device_mP is None:
+            self._device_mP = (jnp.asarray(self.m), jnp.asarray(self.P))
         return np.asarray(
-            whiten_apply(jnp.asarray(q), jnp.asarray(self.m), jnp.asarray(self.P), self.dims),
+            _whiten_apply_jit(jnp.asarray(q), *self._device_mP,
+                              dims=self.dims),
             dtype=np.float32,
         )
 

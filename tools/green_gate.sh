@@ -1,0 +1,24 @@
+#!/bin/bash
+# End-of-round suite gate: run the full CPU test suite and record the
+# result against the current commit in SUITE_STATUS.md. A snapshot may
+# only be taken after this writes "green" for HEAD (round-3 shipped a
+# broken HEAD precisely because no such record was required; round-4
+# VERDICT asked for the gate to be institutionalized).
+set -e
+cd "$(dirname "$0")/.."
+out=$(python -m pytest tests/ -q 2>&1 | tail -1)
+sha=$(git rev-parse --short HEAD)
+dirty=$(git status --porcelain | grep -v "^?? " | wc -l)
+status=red
+echo "$out" | grep -qE "^[0-9]+ passed" && ! echo "$out" | grep -q failed && status=green
+cat > SUITE_STATUS.md << EOF
+# Suite status (written by tools/green_gate.sh — do not edit)
+
+- status: **$status**
+- result: $out
+- commit: $sha (uncommitted tracked changes: $dirty)
+- date: $(date -u +%Y-%m-%dT%H:%M:%SZ)
+- platform: forced 8-virtual-device CPU (tests/conftest.py)
+EOF
+cat SUITE_STATUS.md
+[ "$status" = green ]

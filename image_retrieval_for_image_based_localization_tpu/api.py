@@ -255,6 +255,10 @@ class Extractor:
         )
 
         copts = tpu_compiler_options()
+        # raw (un-jitted) closure for callers composing larger programs
+        # (e.g. serving's one-hop extract+query): a jit carrying
+        # compiler_options cannot be nested inside another jit
+        self._forward_u8_fn = forward_u8
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

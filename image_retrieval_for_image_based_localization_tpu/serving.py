@@ -282,6 +282,9 @@ class RetrievalService:
             self.batcher = MicroBatcher(
                 self._plain_search, max_batch=max_batch,
                 max_wait_ms=batch_window_ms)
+        # one-hop /extract_query programs keyed by k (jax.jit shape-caches
+        # the rest); cleared on reload — they close over the device gallery
+        self._one_hop_cache = {}
 
     def reload_from_paths(self, paths: dict) -> dict:
         """Hot-swap the servable from the artifact paths the server was
@@ -324,6 +327,7 @@ class RetrievalService:
             self.ivf = new_ivf
             self.pq = new_pq
             self.db_names = new_names
+            self._one_hop_cache = {}  # closed over the old device gallery
         return {"gallery": int(new_index.gallery.shape[0]),
                 "dim": int(new_index.gallery.shape[1]),
                 "ivf": new_ivf is not None, "pq": new_pq is not None}
@@ -463,6 +467,86 @@ class RetrievalService:
             os.unlink(path)
         return np.asarray(d)[0]
 
+    def _one_hop_program(self, k: int):
+        """Jitted image->top-k program: trunk forward + whiten + score +
+        select in ONE dispatch. The descriptor never leaves the device —
+        the two-dispatch path (extract, then query) pays an extra relay
+        round trip plus a device->host->device descriptor bounce, ~35% of
+        the endpoint's latency through this rig's tunnel."""
+        prog = self._one_hop_cache.get(k)
+        if prog is not None:
+            return prog
+        import jax
+        import jax.numpy as jnp
+
+        from image_retrieval_for_image_based_localization_tpu.retrieval.index import (
+            _fused_query_plain,
+            _fused_query_whitened,
+        )
+
+        idx = self.index
+        g = idx.device_gallery()
+        # the raw forward closure: the jitted _forward_u8 carries
+        # compiler_options, which jax rejects inside a nested jit
+        fwd = getattr(self.extractor, "_forward_u8_fn",
+                      self.extractor._forward_u8)
+        kk = min(k, idx.gallery.shape[0])
+        if idx.P is not None:
+            if idx._device_mP is None:
+                idx._device_mP = (jnp.asarray(idx.m), jnp.asarray(idx.P))
+            m, P = idx._device_mP
+            dims = idx.dims
+
+            def run(v, px, sz):
+                return _fused_query_whitened(
+                    g, fwd(v, px, sz), m, P, k=kk, dims=dims)
+        else:
+            def run(v, px, sz):
+                return _fused_query_plain(g, fwd(v, px, sz), k=kk)
+
+        from image_retrieval_for_image_based_localization_tpu.utils.tuning import (
+            tpu_compiler_options,
+        )
+
+        prog = jax.jit(run, compiler_options=tpu_compiler_options())
+        self._one_hop_cache[k] = prog
+        return prog
+
+    def extract_query(self, image_bytes: bytes, k: int = 10):
+        """One-hop image bytes -> (scores, ids, names), single dispatch.
+
+        Host preprocessing mirrors ``Extractor.extract`` exactly (same
+        resize filter/upscale/bucketing via ``make_batches``), so the
+        descriptor — and therefore the ranking — is identical to calling
+        /extract then /query."""
+        if self.extractor is None:
+            raise RuntimeError("no model loaded (start with --network or "
+                               "--checkpoint to serve /extract_query)")
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from image_retrieval_for_image_based_localization_tpu.data.images import (
+            make_batches,
+        )
+
+        img = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        cfg = self.extractor.cfg
+        batch = next(iter(make_batches(
+            [img], image_size=cfg.image_size, batch_size=1,
+            bucket_multiple=1 if cfg.exact else cfg.bucket_multiple,
+            squarify=cfg.squarify, upscale=cfg.upscale,
+            resize_filter=cfg.resize_filter,
+        )))
+        with self._admitted(), self._device(
+                time.monotonic() + self.request_timeout_s):
+            scores, idx = self._one_hop_program(k)(
+                self.extractor.variables,
+                jnp.asarray(batch.pixels_u8),
+                jnp.asarray(batch.sizes),
+            )
+            scores, idx = np.asarray(scores), np.asarray(idx)
+        return scores, idx, self._names(idx)
+
 
 def _make_handler(service: RetrievalService, reload_paths: dict = None):
     class Handler(BaseHTTPRequestHandler):
@@ -572,24 +656,25 @@ def _make_handler(service: RetrievalService, reload_paths: dict = None):
                         "names": names,
                         "latency_ms": round((time.time() - t0) * 1e3, 2),
                     })
-                elif path in ("/extract", "/extract_query"):
+                elif path == "/extract":
                     d = service.extract(self._body())
                     service.stats.record(path, time.time() - t0)
-                    if path == "/extract":
-                        self._send(200, {
-                            "descriptor": d.astype(np.float64).tolist(),
-                            "latency_ms": round((time.time() - t0) * 1e3, 2),
-                        })
-                    else:
-                        k = int(params.get("k", 10))
-                        scores, idx, names = service.query(d[None], k=k)
-                        self._send(200, {
-                            "ids": idx[0].tolist(),
-                            "scores": np.asarray(
-                                scores[0], np.float64).tolist(),
-                            "names": None if names is None else names[0],
-                            "latency_ms": round((time.time() - t0) * 1e3, 2),
-                        })
+                    self._send(200, {
+                        "descriptor": d.astype(np.float64).tolist(),
+                        "latency_ms": round((time.time() - t0) * 1e3, 2),
+                    })
+                elif path == "/extract_query":
+                    k = int(params.get("k", 10))
+                    scores, idx, names = service.extract_query(
+                        self._body(), k=k)
+                    service.stats.record(path, time.time() - t0)
+                    self._send(200, {
+                        "ids": idx[0].tolist(),
+                        "scores": np.asarray(
+                            scores[0], np.float64).tolist(),
+                        "names": None if names is None else names[0],
+                        "latency_ms": round((time.time() - t0) * 1e3, 2),
+                    })
                 else:
                     self._send(404, {"error": f"unknown path {path}"})
             except ServiceOverloaded as e:

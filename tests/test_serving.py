@@ -109,8 +109,47 @@ def test_extract_and_extract_query(tmp_path):
         np.testing.assert_allclose(d, db[1], atol=1e-4)
         res = _post(f"{url}/extract_query?k=2", buf.getvalue())
         assert res["ids"][0] == 1  # self-match first
+        # one-hop (fused single-dispatch) == extract-then-query exactly:
+        # same host preprocessing, same whiten/score/select program
+        s2, i2 = index.query(d[None], k=2)
+        assert res["ids"] == i2[0].tolist()
+        np.testing.assert_allclose(
+            np.asarray(res["scores"], np.float32), s2[0], atol=1e-5)
     finally:
         srv.shutdown()
+
+
+def test_extract_query_one_hop_whitened_index(tmp_path):
+    """The one-hop program composes the index's whitening on device —
+    results identical to service.extract + service.query."""
+    import io
+
+    from PIL import Image
+
+    from irtpu.api import Extractor
+    from irtpu.serving import RetrievalService
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    ex = Extractor(ExtractConfig(model=ModelConfig(arch="resnet18"),
+                                 image_size=64, batch_size=2))
+    rng = np.random.RandomState(3)
+    imgs = [(rng.rand(64, 48, 3) * 255).astype(np.uint8) for _ in range(6)]
+    paths = []
+    for i, a in enumerate(imgs):
+        p = tmp_path / f"w{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(str(p))
+    db = ex.extract(paths)
+    index = Index.build(db, IndexConfig(whitening="pca"))
+    svc = RetrievalService(index, extractor=ex)
+    buf = io.BytesIO()
+    Image.fromarray(imgs[2]).save(buf, format="PNG")
+    s1, i1, _ = svc.extract_query(buf.getvalue(), k=3)
+    d = svc.extract(buf.getvalue())
+    s2, i2, _ = svc.query(d[None], k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    assert i1[0, 0] == 2  # self-match through the whitened gallery
 
 
 def test_ivf_serving():

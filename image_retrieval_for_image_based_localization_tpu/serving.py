@@ -522,6 +522,11 @@ class RetrievalService:
         if self.extractor is None:
             raise RuntimeError("no model loaded (start with --network or "
                                "--checkpoint to serve /extract_query)")
+        if self.ivf is not None or self.pq is not None:
+            # an approximate-search service keeps its IVF/PQ routing (the
+            # fused program is exact search); two-hop path as before
+            d = self.extract(image_bytes)
+            return self.query(d[None], k=k)
         import jax.numpy as jnp
         from PIL import Image
 

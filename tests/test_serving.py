@@ -658,3 +658,44 @@ def test_reload_under_load_race(tmp_path):
         srv.service.batcher.close()
         srv.shutdown()
         srv.server_close()
+
+
+def test_extract_query_keeps_ivf_routing(tmp_path):
+    """An IVF-backed service's /extract_query must keep the approximate
+    routing (the round-5 one-hop fused program is exact search — it may
+    only replace the plain-exact path)."""
+    import io
+
+    from PIL import Image
+
+    from irtpu.api import Extractor
+    from irtpu.retrieval.ivf import IVFIndex
+    from irtpu.serving import RetrievalService
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    ex = Extractor(ExtractConfig(model=ModelConfig(arch="resnet18"),
+                                 image_size=64, batch_size=2))
+    rng = np.random.RandomState(9)
+    imgs = [(rng.rand(48, 64, 3) * 255).astype(np.uint8) for _ in range(8)]
+    paths = []
+    for i, a in enumerate(imgs):
+        p = tmp_path / f"v{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(str(p))
+    db = ex.extract(paths)
+    index = Index.build(db, IndexConfig(whitening=None))
+    ivf = IVFIndex.build(db, n_clusters=2)
+    svc = RetrievalService(index, extractor=ex, ivf=ivf, nprobe=1)
+    called = {}
+    orig = ivf.search
+
+    def spy(*a, **kw):
+        called["ivf"] = True
+        return orig(*a, **kw)
+
+    ivf.search = spy
+    buf = io.BytesIO()
+    Image.fromarray(imgs[0]).save(buf, format="PNG")
+    s, i, _ = svc.extract_query(buf.getvalue(), k=2)
+    assert called.get("ivf"), "one-hop bypassed the IVF routing"
+    assert i.shape == (1, 2)

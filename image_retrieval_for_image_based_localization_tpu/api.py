@@ -33,6 +33,10 @@ from image_retrieval_for_image_based_localization_tpu.utils.config import (
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
+# kill switch for the exact stem channel pad (see Extractor._build_forward);
+# tests flip it to pin bitwise padded == unpadded equality
+_STEM_PAD_ENABLED = True
+
 
 def _prefetched(iterator, depth: int = 2):
     """Run an iterator in a background thread, ``depth`` items ahead."""
@@ -199,7 +203,44 @@ class Extractor:
                 )
             return model.apply(variables, pixels, mask=mask)
 
+        # stem channel pad (round-5, measured +0.7% end-to-end at b128
+        # @1024): a 3-channel conv input forces XLA into a separate layout
+        # copy (copy.18, 3.0 ms/iter in the trace); presenting the input as
+        # C=4 with a zero-padded stem kernel is EXACTLY the same math (f32
+        # sums over appended zeros are bitwise unchanged) and lets the pad
+        # fuse into the on-device normalize. ResNet stems only (the s2d
+        # rewrite and the folded trunk assume C=3), and only when the
+        # checkpoint kernel still has 3 input channels.
+        stem_pad = (
+            _STEM_PAD_ENABLED
+            and model.arch.startswith("resnet")
+            and not getattr(model, "s2d_stem", False)
+            and folded is None
+        )
+
+        def _pad_stem(variables, pixels):
+            try:
+                k = variables["params"]["trunk"]["stem"]["conv"]["kernel"]
+            except (KeyError, TypeError):
+                return variables, pixels
+            if k.shape[2] != 3:
+                return variables, pixels
+            params = dict(variables["params"])
+            trunk = dict(params["trunk"])
+            stem = dict(trunk["stem"])
+            conv = dict(stem["conv"])
+            conv["kernel"] = jnp.pad(k, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            stem["conv"] = conv
+            trunk["stem"] = stem
+            params["trunk"] = trunk
+            variables = dict(variables)
+            variables["params"] = params
+            pixels = jnp.pad(pixels, ((0, 0), (0, 0), (0, 0), (0, 1)))
+            return variables, pixels
+
         def forward(variables, pixels, mask):
+            if stem_pad and pixels.shape[-1] == 3:
+                variables, pixels = _pad_stem(variables, pixels)
             if len(scales) == 1:
                 return single_scale(variables, pixels, mask, scales[0])
             msp = msp_value(variables)
@@ -294,21 +335,17 @@ class Extractor:
             mask_j = jnp.asarray(mask)
         return np.asarray(self._forward(self.variables, pixels, mask_j))
 
-    def extract(
-        self,
-        images: Sequence,
-        bbxs: Optional[Sequence] = None,
-        progress: bool = False,
-        prefetch: int = 2,
-    ) -> np.ndarray:
-        """Extract descriptors for a list of image paths or HWC arrays.
-
-        Host preprocessing (decode/resize/pad) runs in a background thread
-        ``prefetch`` batches ahead so the device never waits on PIL
-        (BASELINE.json:5: "preprocessing overlapped with device compute").
-        """
+    def make_input_batches(self, images: Sequence, bbxs=None,
+                           batch_size: Optional[int] = None):
+        """The production host-preprocessing pipeline for ``images`` (paths
+        or HWC arrays): native C++ decode/resize when available and
+        applicable, PIL otherwise — ONE place decides, so every consumer
+        (extract, serving's one-hop endpoint) produces identical pixels
+        for the same input. ``batch_size`` overrides the config's (the
+        one-hop path wants 1 — a padded 16-row batch would 16x the trunk
+        work of a single query)."""
         cfg = self.cfg
-        out = np.zeros((len(images), self.out_dim), dtype=np.float32)
+        bs = batch_size or cfg.batch_size
         use_native = (
             cfg.native_preproc is not False
             and not cfg.squarify
@@ -327,26 +364,41 @@ class Extractor:
                 make_batches_native,
             )
 
-            batches = make_batches_native(
+            return make_batches_native(
                 images,
                 image_size=cfg.image_size,
-                batch_size=cfg.batch_size,
+                batch_size=bs,
                 bucket_multiple=bucket_multiple,
                 bbxs=bbxs,
                 upscale=cfg.upscale,
                 resize_filter=cfg.resize_filter,
             )
-        else:
-            batches = make_batches(
-                images,
-                image_size=cfg.image_size,
-                batch_size=cfg.batch_size,
-                bucket_multiple=bucket_multiple,
-                bbxs=bbxs,
-                squarify=cfg.squarify,
-                upscale=cfg.upscale,
-                resize_filter=cfg.resize_filter,
-            )
+        return make_batches(
+            images,
+            image_size=cfg.image_size,
+            batch_size=bs,
+            bucket_multiple=bucket_multiple,
+            bbxs=bbxs,
+            squarify=cfg.squarify,
+            upscale=cfg.upscale,
+            resize_filter=cfg.resize_filter,
+        )
+
+    def extract(
+        self,
+        images: Sequence,
+        bbxs: Optional[Sequence] = None,
+        progress: bool = False,
+        prefetch: int = 2,
+    ) -> np.ndarray:
+        """Extract descriptors for a list of image paths or HWC arrays.
+
+        Host preprocessing (decode/resize/pad) runs in a background thread
+        ``prefetch`` batches ahead so the device never waits on PIL
+        (BASELINE.json:5: "preprocessing overlapped with device compute").
+        """
+        out = np.zeros((len(images), self.out_dim), dtype=np.float32)
+        batches = self.make_input_batches(images, bbxs=bbxs)
         # NOTE: uploading from the prefetch thread (device_put inside the
         # producer) was measured 3x SLOWER through this rig's relay client
         # (thread contention); uploads stay on the main thread.

@@ -95,11 +95,15 @@ def run_graded_config(
     # actually captured this artifact — a 0.18 img/s config-1 run is a
     # starved CPU fallback, not a TPU regression, and the committed JSONL
     # must say so itself.
-    dev = jax.devices()[0]
-    logger.log(config=n, event="provenance",
-               backend=jax.default_backend(),
-               device_kind=getattr(dev, "device_kind", "unknown"),
-               n_devices=jax.device_count())
+    # configs 1-3 go through evaluate_dataset, whose _log_provenance emits
+    # the richer record (backend + ranking_path + model) — logging here too
+    # would put two differently-shaped event=provenance rows in one artifact
+    if n not in (1, 2, 3):
+        dev = jax.devices()[0]
+        logger.log(config=n, event="provenance",
+                   backend=jax.default_backend(),
+                   device_kind=getattr(dev, "device_kind", "unknown"),
+                   n_devices=jax.device_count())
 
     if n in (1, 2, 3):
         ds = _dataset(cfg, data_root, synth_root)

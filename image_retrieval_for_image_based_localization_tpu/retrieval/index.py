@@ -261,7 +261,12 @@ class Index:
         if method == "exact" and not qe_nqe:
             q_np = np.atleast_2d(np.asarray(qdescriptors, np.float32))
             Ng = self.gallery.shape[0]
-            if auto_chunk(Ng, q_np.shape[0]) >= Ng:
+            # the fused path exists for small serving batches; its pad
+            # bucket can double Nq, so gate on the PADDED count and cap it
+            # (a large one-off eval batch takes the staged/streaming path,
+            # which never materializes more than its chunk budget)
+            nq_bucket = 1 << (max(q_np.shape[0], 1) - 1).bit_length()
+            if nq_bucket <= 1024 and auto_chunk(Ng, nq_bucket) >= Ng:
                 # single-dispatch fast path (serving concurrency-1): one
                 # program does whiten + score + select — identical results
                 # to the staged path (same single-chunk scoring + stable

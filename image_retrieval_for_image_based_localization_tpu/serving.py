@@ -473,7 +473,11 @@ class RetrievalService:
         the two-dispatch path (extract, then query) pays an extra relay
         round trip plus a device->host->device descriptor bounce, ~35% of
         the endpoint's latency through this rig's tunnel."""
-        prog = self._one_hop_cache.get(k)
+        # key by the CLAMPED k: raw client-supplied k would compile and
+        # permanently cache one trunk-sized program per distinct k > N
+        # (an unbounded compile-stall amplifier from query-string input)
+        kk = min(int(k), self.index.gallery.shape[0])
+        prog = self._one_hop_cache.get(kk)
         if prog is not None:
             return prog
         import jax
@@ -488,9 +492,12 @@ class RetrievalService:
         g = idx.device_gallery()
         # the raw forward closure: the jitted _forward_u8 carries
         # compiler_options, which jax rejects inside a nested jit
-        fwd = getattr(self.extractor, "_forward_u8_fn",
-                      self.extractor._forward_u8)
-        kk = min(k, idx.gallery.shape[0])
+        fwd = getattr(self.extractor, "_forward_u8_fn", None)
+        if fwd is None:
+            raise RuntimeError(
+                "extractor lacks _forward_u8_fn (the raw forward closure) — "
+                "the jitted _forward_u8 cannot nest under the one-hop jit "
+                "(it carries compiler_options); rebuild the Extractor")
         if idx.P is not None:
             if idx._device_mP is None:
                 idx._device_mP = (jnp.asarray(idx.m), jnp.asarray(idx.P))
@@ -509,7 +516,7 @@ class RetrievalService:
         )
 
         prog = jax.jit(run, compiler_options=tpu_compiler_options())
-        self._one_hop_cache[k] = prog
+        self._one_hop_cache[kk] = prog
         return prog
 
     def extract_query(self, image_bytes: bytes, k: int = 10):
@@ -527,21 +534,25 @@ class RetrievalService:
             # fused program is exact search); two-hop path as before
             d = self.extract(image_bytes)
             return self.query(d[None], k=k)
+        import os
+        import tempfile
+
         import jax.numpy as jnp
         from PIL import Image
 
-        from image_retrieval_for_image_based_localization_tpu.data.images import (
-            make_batches,
-        )
-
-        img = np.asarray(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
-        cfg = self.extractor.cfg
-        batch = next(iter(make_batches(
-            [img], image_size=cfg.image_size, batch_size=1,
-            bucket_multiple=1 if cfg.exact else cfg.bucket_multiple,
-            squarify=cfg.squarify, upscale=cfg.upscale,
-            resize_filter=cfg.resize_filter,
-        )))
+        # identical host preprocessing to /extract: a temp path through the
+        # Extractor's own batch builder (native C++ resize when available;
+        # an in-memory array would silently take the PIL path instead and
+        # produce different pixels for resized inputs)
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+            img.save(f, format="PNG")
+            path = f.name
+        try:
+            batch = next(iter(
+                self.extractor.make_input_batches([path], batch_size=1)))
+        finally:
+            os.unlink(path)
         with self._admitted(), self._device(
                 time.monotonic() + self.request_timeout_s):
             scores, idx = self._one_hop_program(k)(

@@ -391,3 +391,29 @@ def test_extract_regional_multiscale_concats_scales():
     assert len(ex._structured_fwd) == 1
     ex.extract_regional([img])
     assert len(ex._structured_fwd) == 1
+
+
+def test_stem_channel_pad_is_exact():
+    """The round-5 C=3->4 stem pad (zero-padded kernel + padded input)
+    must be EXACTLY the unpadded forward — f32 sums over appended zeros
+    are bitwise unchanged."""
+    import irtpu.api as api
+    from irtpu.api import Extractor
+    from irtpu.utils.config import ExtractConfig, ModelConfig
+
+    rng = np.random.RandomState(11)
+    px = (rng.rand(2, 3, 64, 48, 3) * 255).astype(np.uint8)  # unused shape guard
+    cfg = ExtractConfig(model=ModelConfig(arch="resnet18"),
+                        image_size=64, batch_size=2)
+    imgs = [(rng.rand(48, 64, 3) * 255).astype(np.uint8) for _ in range(3)]
+
+    ex_pad = Extractor(cfg, rng=7)
+    d_pad = ex_pad.extract(imgs)
+    old = api._STEM_PAD_ENABLED
+    api._STEM_PAD_ENABLED = False
+    try:
+        ex_raw = Extractor(cfg, rng=7)
+        d_raw = ex_raw.extract(imgs)
+    finally:
+        api._STEM_PAD_ENABLED = old
+    np.testing.assert_array_equal(d_pad, d_raw)

@@ -594,7 +594,9 @@ def test_batch_queue_timeout_withdraw_with_other_entries_queued():
         with svc.batcher._lock:
             assert len(svc.batcher._pending) <= 1  # ours gone, theirs kept
             for e in svc.batcher._pending:
-                assert e[1] != 3 or e[0].shape[0] != 1 or True
+                # only the timed-out entry (k=3) may be withdrawn — the
+                # other queued request (default k) must still be pending
+                assert e[1] != 3, "withdraw removed the wrong entry"
         t0.join()
         t1.join()
     finally:

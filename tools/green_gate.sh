@@ -9,8 +9,14 @@ cd "$(dirname "$0")/.."
 out=$(python -m pytest tests/ -q 2>&1 | tail -1)
 sha=$(git rev-parse --short HEAD)
 dirty=$(git status --porcelain | grep -v "^?? " | wc -l)
+# green requires a pure "N passed" summary: "M failed" or "M errors"
+# (collection/import errors do NOT say "failed") each force red;
+# "xfailed"/"xpassed" don't match the word-bounded patterns
 status=red
-echo "$out" | grep -qE "^[0-9]+ passed" && ! echo "$out" | grep -q failed && status=green
+if echo "$out" | grep -qE "^[0-9]+ passed" \
+   && ! echo "$out" | grep -qE "[0-9]+ (failed|error)"; then
+  status=green
+fi
 cat > SUITE_STATUS.md << EOF
 # Suite status (written by tools/green_gate.sh — do not edit)
 
